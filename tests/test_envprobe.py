@@ -1,0 +1,58 @@
+import jax.numpy as jnp
+import numpy as np
+
+from unitysspathtracingurp_tpu.ops import envprobe
+
+
+def test_oct_roundtrip():
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    uv = envprobe.oct_encode(jnp.asarray(d))
+    back = np.asarray(envprobe.oct_decode(uv))
+    assert np.abs(back - d).max() < 1e-5
+
+
+def test_constant_probe_sampling():
+    probe = envprobe.constant_probe([0.2, 0.4, 0.8])
+    probes = envprobe.ProbeSet(probe0=probe)
+    d = jnp.asarray(np.array([[0, 1, 0], [1, 0, 0], [0, -1, 0]], np.float32))
+    pos = jnp.zeros((3, 3))
+    c = np.asarray(envprobe.sample_reflection_probes(probes, d, pos))
+    assert np.allclose(c, [0.2, 0.4, 0.8], atol=1e-5)
+
+
+def test_probe_blend():
+    p0 = envprobe.constant_probe([1.0, 0.0, 0.0])
+    p1 = envprobe.constant_probe([0.0, 1.0, 0.0])
+    probes = envprobe.ProbeSet(
+        probe0=p0, probe1=p1, blend_weight=jnp.asarray(0.25, jnp.float32)
+    )
+    d = jnp.asarray(np.array([[0.0, 1.0, 0.0]], np.float32))
+    c = np.asarray(envprobe.sample_reflection_probes(probes, d, jnp.zeros((1, 3))))
+    assert np.allclose(c, [[0.75, 0.25, 0.0]], atol=1e-5)
+
+
+def test_box_projection_direction():
+    probe = envprobe.constant_probe([1.0, 1.0, 1.0]).replace(
+        box_min=jnp.asarray([-1.0, -1.0, -1.0]),
+        box_max=jnp.asarray([1.0, 1.0, 1.0]),
+        position=jnp.zeros(3),
+        box_projection=jnp.asarray(1.0),
+    )
+    # From (0.5, 0, 0) looking +x: hits box at x=1 -> direction (0.5,0,0) from origin
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    pos = jnp.asarray([[0.5, 0.0, 0.0]])
+    proj = np.asarray(envprobe.box_projected_direction(d, pos, probe))
+    assert np.allclose(proj, [[1.0, 0.0, 0.0]], atol=1e-5)
+
+
+def test_hsv_clamp():
+    from unitysspathtracingurp_tpu.utils.image import clamp_brightness_hsv
+
+    rgb = jnp.asarray([[100.0, 5.0, 1.0], [0.5, 0.2, 0.1]])
+    out = np.asarray(clamp_brightness_hsv(rgb, 10.0))
+    assert out[0].max() <= 10.0 + 1e-4
+    # Hue preserved: ratios scale.
+    assert np.allclose(out[0] / out[0].max(), np.array([100, 5, 1.0]) / 100, atol=1e-4)
+    assert np.allclose(out[1], [0.5, 0.2, 0.1], atol=1e-5)

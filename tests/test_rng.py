@@ -1,0 +1,56 @@
+import jax.numpy as jnp
+import numpy as np
+
+from unitysspathtracingurp_tpu.ops import rng as rng_mod
+
+
+def _ref_jenkins(x):
+    x = np.uint32(x)
+    x = np.uint32(x + np.uint32(x << np.uint32(10)))
+    x = np.uint32(x ^ (x >> np.uint32(6)))
+    x = np.uint32(x + np.uint32(x << np.uint32(3)))
+    x = np.uint32(x ^ (x >> np.uint32(11)))
+    x = np.uint32(x + np.uint32(x << np.uint32(15)))
+    return x
+
+
+def test_jenkins_matches_independent_numpy():
+    old = np.seterr(over="ignore")
+    try:
+        for v in [0, 1, 12345, 0xDEADBEEF, 2**32 - 1]:
+            got = rng_mod.jenkins_hash_u32(jnp.asarray(np.uint32(v)))
+            assert np.uint32(got) == _ref_jenkins(v), v
+    finally:
+        np.seterr(**old)
+
+
+def test_construct_float_range_and_values():
+    vals = rng_mod.construct_float(jnp.arange(0, 2**23, 97, dtype=jnp.uint32))
+    v = np.asarray(vals)
+    assert (v >= 0).all() and (v < 1).all()
+    # mantissa m / 2^23 exactly
+    assert np.allclose(v[:4], np.array([0, 97, 194, 291]) / 2**23)
+
+
+def test_draw_sequence_statistics():
+    r = rng_mod.make_rng(32, 32, frame_index=33)
+    draws = []
+    for _ in range(16):
+        v, r = rng_mod.draw(r)
+        draws.append(np.asarray(v))
+    d = np.stack(draws)  # (16, 32, 32)
+    assert d.shape == (16, 32, 32)
+    assert 0.45 < d.mean() < 0.55
+    assert d.std() > 0.25  # ~uniform std 0.288
+    # Sequential draws decorrelated per pixel.
+    c = np.corrcoef(d[0].ravel(), d[1].ravel())[0, 1]
+    assert abs(c) < 0.1
+
+
+def test_draws_differ_across_pixels_and_frames():
+    r0 = rng_mod.make_rng(8, 8, frame_index=0)
+    r1 = rng_mod.make_rng(8, 8, frame_index=33)
+    v0, _ = rng_mod.draw(r0)
+    v1, _ = rng_mod.draw(r1)
+    assert not np.allclose(np.asarray(v0), np.asarray(v1))
+    assert len(np.unique(np.asarray(v0))) > 50  # 64 pixels nearly all distinct

@@ -1,0 +1,183 @@
+"""Configuration system.
+
+Three tiers, mirroring the reference's config architecture
+(reference: PathTracingConfig.hlsl compile-time constants;
+ScreenSpacePathTracing.shader:47-55 keyword variant axes;
+PathTracingVolume.cs:17-71 runtime volume settings):
+
+  * ``PTConfig``   — compile-time constants baked into kernels (static).
+  * ``PTVariants`` — shader-keyword analog: static booleans that select
+                     jit specializations of the pass functions.
+  * ``PTSettings`` — per-frame runtime settings with the same fields,
+                     ranges, and defaults as the reference volume
+                     component. Loop bounds (steps/bounces/spp) are
+                     static jit arguments: changing them recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class NoiseMethod(enum.Enum):
+    """Per-pixel random source (reference: PathTracingVolume.cs:111-119)."""
+
+    HASHED_RANDOM = 0
+    BLUE_NOISE = 1
+
+
+class DenoiserType(enum.Enum):
+    """Accumulation/denoise mode (reference: PathTracingVolume.cs:138-152)."""
+
+    NONE = 0
+    OFFLINE = 1  # progressive averaging, static camera ("Offline" / Camera)
+    TEMPORAL = 2  # motion-vector reprojection ("PerObject")
+    SPATIAL_TEMPORAL = 3  # À-Trous spatial + temporal ("PerObjectBlur")
+
+
+class SpatialDenoiseQuality(enum.Enum):
+    """À-Trous ping-pong pass count = 2*q+1 (reference: cs:52-65, 866-876)."""
+
+    LOW = 0  # 1 pass
+    MEDIUM = 1  # 3 passes
+    HIGH = 2  # 5 passes
+
+
+class ThicknessMode(enum.Enum):
+    """Backface data source (reference: ScreenSpacePathTracingAccumulation.cs:34-50)."""
+
+    CONSTANT = 0  # no backface textures; constant thickness assumption
+    DEPTH_ONLY = 1  # backface depth available
+    DEPTH_NORMALS = 2  # backface depth + normals available
+
+
+@dataclasses.dataclass(frozen=True)
+class PTConfig:
+    """Compile-time tracer constants (reference: PathTracingConfig.hlsl:41-98)."""
+
+    # Adaptive ray-march step schedule: 6 small steps, then 12 medium steps,
+    # then large steps (ref config :43-44).
+    max_small_step: int = 6
+    max_medium_step: int = 18  # MAX_SMALL_STEP + 12
+    small_step_size: float = 0.005  # meters (ref :48)
+    medium_step_size: float = 0.1  # meters (ref :49)
+
+    # Assumed object thickness per tier (ref :52-54).
+    marching_thickness: float = 0.4
+    marching_thickness_small: float = 0.0075
+    marching_thickness_medium: float = 0.1
+
+    ray_bias: float = 1.0e-4  # self-intersection offset along normal (ref :60)
+    use_disney_diffuse: bool = True  # ref :71
+
+    # Temporal accumulation (ref :77-95).
+    max_accum_frame_num: int = 8
+    ray_count_low_sample: int = 4
+    max_reprojection_distance: float = 0.02
+    max_pixel_tolerance: float = 4.0
+    projection_epsilon: float = 1.0e-6
+    reflection_history_rejection_threshold: float = 0.75
+    roughness_accumulation_threshold: float = 0.5
+    spec_accum_curve: float = 1.0
+    spec_accum_base_power: float = 1.0
+
+    clamp_max: float = 65472.0  # HALF_MAX minus one (ref :98)
+
+    # Step-size growth on unconverged march steps (ref PathTracing.hlsl:244-245).
+    step_growth: float = 0.1
+    thickness_growth: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class PTVariants:
+    """Static variant axes — the analog of the reference's multi_compile
+    shader keyword matrix (reference: ScreenSpacePathTracing.shader:47-55).
+
+    Each boolean selects a different jit specialization; there is no
+    runtime branching on these inside kernels.
+    """
+
+    temporal_accumulation: bool = False  # _TEMPORAL_ACCUMULATION
+    blue_noise: bool = False  # _METHOD_BLUE_NOISE (else hashed random)
+    support_refraction: bool = False  # _SUPPORT_REFRACTION
+    backface_textures: bool = False  # _BACKFACE_TEXTURES
+    ignore_forward_objects: bool = False  # _IGNORE_FORWARD_OBJECTS
+    gbuffer_normals_oct: bool = False  # _GBUFFER_NORMALS_OCT
+    # _FP_REFL_PROBE_ATLAS (URP Forward+ probe-atlas clustering) is URP
+    # plumbing, not a capability: the framework replicates the probe list
+    # instead (see envprobe.py and SURVEY.md C8).
+
+
+@dataclasses.dataclass(frozen=True)
+class PTSettings:
+    """Runtime settings — same fields/ranges/defaults as the reference's
+    volume component (reference: PathTracingVolume.cs:17-71) plus the
+    renderer-feature serialized fields (cs:67-158).
+
+    Frozen/hashable so it can be a static jit argument (loop bounds and
+    lobe toggles specialize the kernel, exactly like the reference's
+    cbuffer-driven loop bounds specialize occupancy).
+    """
+
+    state: bool = True  # PathTracingVolume.cs:17 (default off in ref UI)
+    maximum_samples: int = 256  # [4, 512] offline accumulation budget (:23)
+    maximum_depth: int = 4  # [1, 16] bounces per path (:29)
+    maximum_intensity: float = 10.0  # >= 0.1 firefly clamp (:35)
+    samples_per_pixel: int = 1  # [1, 16] rays per pixel per frame (:41)
+    maximum_steps: int = 24  # [16, 64] march steps per bounce (:47)
+    step_size: float = 0.4  # [0.1, 1.0] large-tier base step (:53)
+    noise_method: NoiseMethod = NoiseMethod.HASHED_RANDOM  # (:59)
+    denoiser: DenoiserType = DenoiserType.NONE  # (:65)
+    accum_factor: float = 0.9  # [0.5, 1.0] temporal blend strength (:71)
+
+    # Renderer-feature fields (ScreenSpacePathTracingAccumulation.cs:67-158).
+    accurate_thickness: ThicknessMode = ThicknessMode.CONSTANT
+    spatial_denoise_quality: SpatialDenoiseQuality = SpatialDenoiseQuality.MEDIUM
+    support_refraction: bool = False
+    progress_bar: bool = True
+    dithering: bool = False
+    dither_intensity: float = 1.0
+
+    def validate(self) -> "PTSettings":
+        def _check(name, value, lo, hi):
+            if not (lo <= value <= hi):
+                raise ValueError(f"{name}={value} outside [{lo}, {hi}]")
+
+        _check("maximum_samples", self.maximum_samples, 4, 512)
+        _check("maximum_depth", self.maximum_depth, 1, 16)
+        _check("samples_per_pixel", self.samples_per_pixel, 1, 16)
+        _check("maximum_steps", self.maximum_steps, 16, 64)
+        _check("step_size", self.step_size, 0.1, 1.0)
+        _check("accum_factor", self.accum_factor, 0.5, 1.0)
+        if self.maximum_intensity < 0.1:
+            raise ValueError("maximum_intensity must be >= 0.1")
+        return self
+
+    @property
+    def temporal_intensity(self) -> float:
+        """CPU-side uniform derivation (reference: cs:394-396):
+        _TemporalIntensity = lerp(0.8, 0.97, accum_factor * 2 - 1)."""
+        t = self.accum_factor * 2.0 - 1.0
+        return 0.8 + (0.97 - 0.8) * t
+
+    def variants(self) -> PTVariants:
+        """Derive the static variant axes the reference derives from the
+        volume + feature state (cs:401-420, 480-503)."""
+        return PTVariants(
+            temporal_accumulation=self.denoiser
+            in (DenoiserType.TEMPORAL, DenoiserType.SPATIAL_TEMPORAL),
+            blue_noise=self.noise_method == NoiseMethod.BLUE_NOISE,
+            support_refraction=self.support_refraction,
+            backface_textures=self.accurate_thickness != ThicknessMode.CONSTANT,
+        )
+
+
+# The reference advances the RNG frame counter by 33 (mod 64000) per frame
+# (reference: ScreenSpacePathTracingAccumulation.cs:553-555).
+FRAME_INDEX_STRIDE = 33
+FRAME_INDEX_MOD = 64000
+
+# Offline accumulation cap when the HDR target is 11-bit float rather than
+# 64-bit (reference: cs:810-814).
+MAX_SAMPLES_LOW_PRECISION = 64
