@@ -106,9 +106,11 @@ def box_projected_direction(direction, position_ws, probe: EnvProbe):
     """Parallax-corrected lookup direction for a box-projected probe
     (PathTracingFallback.hlsl:271-276): intersect the ray with the probe
     AABB, re-aim from the probe origin."""
-    d = jnp.where(jnp.abs(direction) < 1e-6, 1e-6, direction)
     bounds = jnp.where(direction > 0.0, probe.box_max, probe.box_min)
-    factors = (bounds - position_ws) / d
+    zero = jnp.abs(direction) < 1e-9
+    d = jnp.where(zero, 1.0, direction)
+    # A zero component doesn't constrain the exit point: factor -> +inf.
+    factors = jnp.where(zero, jnp.inf, (bounds - position_ws) / d)
     scalar = jnp.min(factors, axis=-1, keepdims=True)
     return direction * scalar + (position_ws - probe.position)
 

@@ -1,0 +1,265 @@
+"""Temporal reprojection denoiser (real-time accumulation, pass 1).
+
+Rebuild of accumulationFrag (PathTracingDenoise.hlsl:111-294) as one
+jitted gather/stencil op over the pixel grid:
+
+  * motion-vector reprojection with sky/off-screen rejection,
+  * world-distance rejection against a pixel-footprint-scaled radius
+    (ComputeMaxReprojectionWorldRadius, :8-19),
+  * emission-change rejection (:181-196),
+  * rough branch (roughness > 0.5): linear accumulation n/(n+1) capped
+    at MAX_ACCUM_FRAME_NUM then _TemporalIntensity (:200-238),
+  * smooth branch: TAA neighborhood with velocity-scaled nudge, virtual
+    reprojection of the reflected hit (GetVirtualPosition :94-98), AABB
+    history clip (:46-61), parallax-aware accumulation speed
+    (GetSpecAccumSpeed :75-85).
+
+Quirks reproduced: the rough branch computes (and discards) a color box;
+the Lottes feedback weight is computed but unused (:271-277) except
+through the weight^2 term that *is* used in the roughness lerp; the
+virtual position uses length(positionWS) — distance from the world
+origin — as hit distance (:163). We keep the used terms and skip the
+dead ones.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..camera import linear_eye_depth  # noqa: F401  (re-exported convenience)
+from ..camera import RAW_FAR_CLIP, pixel_uv, world_from_uv_depth
+from ..config import PTConfig
+from ..gbuffer import GBuffers, SURFACE_TYPE_REFRACTION, gather2d
+from ..utils.image import luminance
+from .brdf import dot3, normalize, saturate
+from .envprobe import sample_bilinear
+
+
+@struct.dataclass
+class TemporalState:
+    """The five history RTs + previous-frame camera data
+    (cs:739-764, 880-896)."""
+
+    history_color: jnp.ndarray  # (H, W, 3) _PathTracingHistoryTexture
+    history_sample: jnp.ndarray  # (H, W)   _PathTracingHistorySampleTexture
+    history_depth: jnp.ndarray  # (H, W)    _PathTracingHistoryDepthTexture
+    history_emission: jnp.ndarray  # (H, W, 3) _PathTracingHistoryEmissionTexture
+    prev_inv_view_proj: jnp.ndarray  # (4, 4)
+    prev_view_proj: jnp.ndarray  # (4, 4)
+    prev_camera_position: jnp.ndarray  # (3,)
+
+    @classmethod
+    def create(cls, height: int, width: int, cam) -> "TemporalState":
+        return cls(
+            history_color=jnp.zeros((height, width, 3), jnp.float32),
+            history_sample=jnp.zeros((height, width), jnp.float32),
+            history_depth=jnp.zeros((height, width), jnp.float32),
+            history_emission=jnp.zeros((height, width, 3), jnp.float32),
+            prev_inv_view_proj=cam.inv_view_proj,
+            prev_view_proj=cam.view_proj,
+            prev_camera_position=cam.position,
+        )
+
+
+class TemporalResult(NamedTuple):
+    color: jnp.ndarray  # (H, W, 3) denoised output
+    sample_count: jnp.ndarray  # (H, W) updated per-pixel history length
+
+
+def _point(img, uv):
+    h, w = img.shape[0], img.shape[1]
+    ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    return gather2d(img, iy, ix)
+
+
+def _shift(img, dx, dy):
+    """Point sample at uv + texel*(dx, dy) == clamped integer shift."""
+    out = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+    # emulate clamp-to-edge instead of wrap
+    h, w = img.shape[0], img.shape[1]
+    iy = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    ix = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    del out
+    return img[iy][:, ix]
+
+
+def _spec_accum_speed(linear_roughness, nov, parallax, cfg: PTConfig):
+    """GetSpecAccumSpeed (Denoise.hlsl:75-85)."""
+    acos01sq = 1.0 - nov
+    a = saturate(acos01sq) ** cfg.spec_accum_curve
+    b = 1.1 + linear_roughness * linear_roughness
+    sensitivity = (b + a) / (b - a)
+    power_scale = 1.0 + parallax * sensitivity
+    f = 1.0 - jnp.exp2(-200.0 * linear_roughness * linear_roughness)
+    f = f * saturate(linear_roughness) ** (cfg.spec_accum_base_power * power_scale)
+    return cfg.max_accum_frame_num * f
+
+
+def _spec_dominant_factor(nov, linear_roughness):
+    """GetSpecularDominantFactor (Denoise.hlsl:87-92)."""
+    a = 0.298475 * jnp.log(39.4115 - 39.0029 * linear_roughness)
+    return saturate(saturate(1.0 - nov) ** 10.8649 * (1.0 - a) + a)
+
+
+def _clip_to_aabb(history, minimum, maximum):
+    """DirectClipToAABB (Denoise.hlsl:46-61): clip toward the box center."""
+    center = 0.5 * (maximum + minimum)
+    extents = jnp.maximum(0.5 * (maximum - minimum), 1e-12)
+    offset = history - center
+    unit = jnp.abs(offset / extents)
+    max_unit = jnp.max(unit, axis=-1, keepdims=True)
+    clipped = center + offset / max_unit
+    return jnp.where(max_unit > 1.0, clipped, history)
+
+
+def temporal_reproject(
+    current: jnp.ndarray,
+    gb: GBuffers,
+    cam,
+    state: TemporalState,
+    emission: jnp.ndarray,
+    cfg: PTConfig,
+    temporal_intensity,
+    pixel_spread_angle_tangent,
+    support_refraction: bool = False,
+) -> TemporalResult:
+    """One temporal accumulation step; returns the denoised color and the
+    new per-pixel sample count (the pass-1 MRT outputs)."""
+    h, w = current.shape[0], current.shape[1]
+    uv = pixel_uv(h, w)
+    max_n = float(cfg.max_accum_frame_num)
+
+    velocity = gb.motion if gb.motion is not None else jnp.zeros((h, w, 2))
+    prev_uv = uv - velocity
+
+    device_depth = gb.layer1_depth()
+    prev_depth = _point(state.history_depth[..., None], prev_uv)[..., 0]
+
+    # Guide normal/smoothness: transparent G-buffer when refractive
+    # (Denoise.hlsl:122-132).
+    normal = gb.normal
+    smoothness = gb.smoothness
+    if support_refraction and gb.t_surface_type is not None:
+        is_refr = gb.t_surface_type == SURFACE_TYPE_REFRACTION
+        normal = jnp.where(is_refr[..., None], gb.t_normal, normal)
+        smoothness = jnp.where(is_refr, gb.t_smoothness, smoothness)
+    roughness = 1.0 - smoothness
+
+    is_sky = device_depth == RAW_FAR_CLIP
+    off_screen = (
+        (prev_uv[..., 0] > 1.0)
+        | (prev_uv[..., 0] < 0.0)
+        | (prev_uv[..., 1] > 1.0)
+        | (prev_uv[..., 1] < 0.0)
+    )
+    can_reproject = ~(is_sky | off_screen)
+
+    position = world_from_uv_depth(cam.inv_view_proj, uv, device_depth)
+    prev_position = world_from_uv_depth(state.prev_inv_view_proj, prev_uv, prev_depth)
+    view = normalize(cam.position - position)
+    ndotv = jnp.abs(dot3(normal, view))
+
+    # Parallax (Denoise.hlsl:63-73).
+    prev_view = normalize(state.prev_camera_position - prev_position)
+    cosa = saturate(dot3(view, prev_view))
+    parallax = jnp.sqrt(jnp.maximum(1.0 - cosa * cosa, 0.0)) / jnp.maximum(cosa, 1e-6)
+
+    # World-radius rejection (Denoise.hlsl:8-19, 171-179).
+    parallel_footprint = pixel_spread_angle_tangent * jnp.linalg.norm(position, axis=-1)
+    real_footprint = parallel_footprint / jnp.maximum(
+        jnp.abs(dot3(normal, view)), cfg.projection_epsilon
+    )
+    max_radius = jnp.maximum(
+        cfg.max_reprojection_distance, real_footprint * cfg.max_pixel_tolerance
+    )
+    radius = jnp.linalg.norm(prev_position - position, axis=-1) / max_radius
+    can_reproject = can_reproject & (radius <= 1.0)
+
+    # Emission-change rejection (Denoise.hlsl:181-196).
+    cur_emis = emission
+    prev_emis = _point(state.history_emission, prev_uv)
+    el = luminance(cur_emis)
+    pl = luminance(prev_emis)
+    ediff = 1.0 - jnp.abs(el - pl) / jnp.maximum(jnp.maximum(el, pl), 0.2)
+    ediff = ediff * ediff
+    emission_diff = jnp.where(can_reproject, ediff, 1.0)
+    can_reproject = can_reproject & (emission_diff >= 0.5)
+
+    history_sample = sample_bilinear(state.history_sample[..., None], prev_uv)[..., 0]
+
+    # ---------------- Rough branch (Denoise.hlsl:200-238) ----------------
+    prev_color_mv = sample_bilinear(state.history_color, prev_uv)
+    acc_rough = jnp.where(
+        history_sample >= max_n,
+        jnp.asarray(temporal_intensity, jnp.float32),
+        history_sample / (history_sample + 1.0),
+    ) * jnp.maximum(emission_diff, 0.1) * (1.0 - radius)
+    rough_ok = can_reproject & (history_sample != 0.0)
+    rough_result = jnp.where(
+        rough_ok[..., None],
+        current * (1.0 - acc_rough[..., None]) + prev_color_mv * acc_rough[..., None],
+        current,
+    )
+    rough_count = jnp.where(
+        rough_ok, jnp.clip(history_sample + 1.0, 0.0, max_n), 1.0
+    )
+
+    # ---------------- Smooth branch (Denoise.hlsl:239-288) ----------------
+    top_left = _shift(current, -1, -1)
+    bottom_right = _shift(current, 1, 1)
+    corners = 4.0 * (top_left + bottom_right) - 2.0 * current
+    color = jnp.clip(current, 0.0, cfg.clamp_max)
+    average = (corners + color) / 7.0
+    color_luma = luminance(color)
+    average_luma = luminance(average)
+    vel_len = jnp.linalg.norm(velocity, axis=-1)
+    nudge_scale = 4.0 + (0.25 - 4.0) * saturate(vel_len * 100.0)
+    nudge = nudge_scale * jnp.abs(average_luma - color_luma)
+    minimum = jnp.minimum(bottom_right, top_left) - nudge[..., None]
+    maximum = jnp.maximum(top_left, bottom_right) + nudge[..., None]
+
+    # Virtual reprojection of the reflected hit; hitDist quirk ==
+    # length(positionWS) (Denoise.hlsl:163, 260).
+    dominant = _spec_dominant_factor(ndotv, roughness)
+    virtual_pos = position - view * (
+        jnp.linalg.norm(position, axis=-1) * dominant
+    )[..., None]
+    vh = jnp.concatenate([virtual_pos, jnp.ones((h, w, 1))], axis=-1)
+    clip = vh @ state.prev_view_proj.T
+    wdiv = jnp.where(jnp.abs(clip[..., 3:4]) < 1e-12, 1e-12, clip[..., 3:4])
+    virtual_uv = (clip[..., :2] / wdiv) * 0.5 + 0.5
+    prev_color_virtual = sample_bilinear(state.history_color, virtual_uv)
+    prev_clipped = _clip_to_aabb(prev_color_virtual, minimum, maximum)
+
+    hist_luma = luminance(prev_clipped)
+    diff = jnp.abs(color_luma - hist_luma) / jnp.maximum(
+        jnp.maximum(color_luma, hist_luma), 0.2
+    )
+    weight = 1.0 - diff
+    w2 = weight * weight
+
+    eff_rough = jnp.maximum(roughness, 0.06) * (1.0 - w2)  # lerp(max(r,.06),0,w2)
+    acc_spec = _spec_accum_speed(eff_rough, ndotv, parallax, cfg)
+    acc_spec = jnp.where(
+        (history_sample + 1.0) >= max_n,
+        jnp.asarray(temporal_intensity, jnp.float32),
+        saturate(jnp.minimum(acc_spec, (history_sample + 1.0) / max_n)),
+    )
+    blended = color + (prev_clipped - color) * acc_spec[..., None]
+    smooth_result = jnp.where(
+        can_reproject[..., None], jnp.clip(blended, 0.0, cfg.clamp_max), current
+    )
+    smooth_count = jnp.where(
+        can_reproject, jnp.clip(history_sample + 1.0, 0.0, max_n), 1.0
+    )
+
+    use_rough = (roughness > cfg.roughness_accumulation_threshold) & (
+        emission_diff > 0.5
+    )
+    result = jnp.where(use_rough[..., None], rough_result, smooth_result)
+    count = jnp.where(use_rough, rough_count, smooth_count)
+    return TemporalResult(color=result, sample_count=count)
