@@ -1,0 +1,95 @@
+"""Headline benchmark: Mrays/sec/chip at 1080p x 4 bounces (BoxScene).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 500 (the BASELINE.md north-star target of
+500 Mrays/sec/chip on TPU v5e).
+
+Run on whatever jax platform is available (TPU under the driver; CPU
+falls back for local sanity checks with BENCH_SMALL=1).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unitysspathtracingurp_tpu.config import PTConfig, PTSettings
+    from unitysspathtracingurp_tpu.models import fixtures, scene
+    from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
+    from unitysspathtracingurp_tpu.ops.pathtrace import trace_frame
+    from unitysspathtracingurp_tpu.utils.metrics import mrays_per_sec
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    height, width = (256, 256) if small else (1080, 1920)
+    bounces = 4
+    spp = 1
+    steps = 24
+    frames = 3 if small else 10
+
+    sc = scene.build_box_scene()
+    cam = fixtures.box_scene_camera(height, width)
+    gb = fixtures.rasterize_gbuffers(sc, cam, height, width)
+    probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
+    settings = PTSettings(
+        maximum_depth=bounces,
+        samples_per_pixel=spp,
+        maximum_steps=steps,
+        dithering=False,
+    )
+    cfg = PTConfig()
+    variants = settings.variants()
+
+    use_pallas = os.environ.get("BENCH_KERNEL", "auto")
+    trace = trace_frame
+    kernel_name = "xla"
+    if use_pallas in ("auto", "pallas"):
+        try:
+            from unitysspathtracingurp_tpu.ops.pathtrace_pallas import (
+                trace_frame_pallas,
+                pallas_supported,
+            )
+
+            if pallas_supported() or use_pallas == "pallas":
+                trace = trace_frame_pallas
+                kernel_name = "pallas"
+        except ImportError:
+            pass
+
+    fn = jax.jit(
+        lambda gb, cam, probes, fi: trace(
+            gb, cam, probes, settings, cfg, variants, fi
+        )
+    )
+
+    # Warmup/compile.
+    out = fn(gb, cam, probes, jnp.uint32(0))
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        out = fn(gb, cam, probes, jnp.uint32((33 * (i + 1)) % 64000))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / frames
+
+    sky_fraction = float((np.asarray(gb.depth) == 0.0).mean())
+    value = mrays_per_sec(height, width, spp, bounces, dt, sky_fraction)
+
+    result = {
+        "metric": "Mrays/sec/chip (BoxScene %dx%d, %d bounces, %d steps, %s)"
+        % (width, height, bounces, steps, kernel_name),
+        "value": round(value, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / 500.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

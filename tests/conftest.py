@@ -15,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # (each distinct program costs ~0.4s to compile on a small CI host).
 import jax  # noqa: E402
 
+# jax 0.9 ignores xla_force_host_platform_device_count; use the config knob.
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -141,9 +141,14 @@ def linear_eye_depth(raw_depth, near, far):
     return 1.0 / (raw_depth * zz + zw)
 
 
-def pixel_uv(height: int, width: int, dtype=jnp.float32):
-    """Per-pixel uv grid, shape (H, W, 2); row 0 = bottom of image."""
-    v = (jnp.arange(height, dtype=dtype) + 0.5) / height
+def pixel_uv(height: int, width: int, dtype=jnp.float32, row0=0, full_height=None):
+    """Per-pixel uv grid, shape (H, W, 2); row 0 = bottom of image.
+
+    With ``row0``/``full_height``, produces the uv grid of a row block
+    [row0, row0+height) of a taller image — used for tile-sharded
+    tracing over a replicated G-buffer (multi-chip path)."""
+    fh = height if full_height is None else full_height
+    v = (jnp.arange(height, dtype=dtype) + jnp.asarray(row0, dtype) + 0.5) / fh
     u = (jnp.arange(width, dtype=dtype) + 0.5) / width
     uu, vv = jnp.meshgrid(u, v)  # (H, W)
     return jnp.stack([uu, vv], axis=-1)

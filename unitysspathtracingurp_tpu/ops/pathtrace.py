@@ -95,8 +95,8 @@ def ray_march(
     thickness rules, hit interpolation, and exponential miss growth are
     reproduced exactly (see module docstring).
     """
-    h, w = gb.height, gb.width
-    texel_x, texel_y = 1.0 / w, 1.0 / h
+    h, w = ray_pos.shape[0], ray_pos.shape[1]  # lane-block shape
+    texel_x, texel_y = 1.0 / gb.width, 1.0 / gb.height
     vp = cam.view_proj
 
     is_front_ray = dot3(ray_dir, view_dir) <= 0.0
@@ -465,6 +465,8 @@ def trace_frame(
     history_sample: Optional[jnp.ndarray] = None,
     rng_tables=None,
     back_depth_enabled: int = 0,
+    row0=0,
+    lane_height: Optional[int] = None,
 ) -> jnp.ndarray:
     """Pass 0: per-pixel multi-bounce path tracing over the G-buffer.
 
@@ -472,16 +474,29 @@ def trace_frame(
     (PathTracing.hlsl:385-496; shader:114-147). Returns the traced
     radiance (H, W, 3); sky pixels return the camera color (gb.emission),
     the analog of the shader's discard.
-    """
-    h, w = gb.height, gb.width
-    uv = pixel_uv(h, w)
 
-    primary_raw = gb.layer1_depth() if variants.support_refraction else gb.depth
+    ``row0``/``lane_height`` trace only a row block of the image while
+    gathering from the full (replicated) G-buffer — the tile-sharding
+    hook for the multi-chip path (SURVEY.md §5.8: replicate the
+    G-buffer, shard the work). ``row0`` may be traced (a mesh
+    axis_index); ``lane_height`` must be static.
+    """
+    full_h, w = gb.height, gb.width
+    h = full_h if lane_height is None else lane_height
+    uv = pixel_uv(h, w, row0=row0, full_height=full_h)
+
+    def _lane(img):
+        """Row-block view of a full-height image."""
+        if lane_height is None:
+            return img
+        return jax.lax.dynamic_slice_in_dim(img, jnp.asarray(row0, jnp.int32), h, 0)
+
+    primary_raw = _lane(gb.layer1_depth() if variants.support_refraction else gb.depth)
     is_background = primary_raw == RAW_FAR_CLIP
     position_ws = world_from_uv_depth(cam.inv_view_proj, uv, primary_raw)
     view_dir = normalize(cam.position - position_ws)
 
-    rng = make_rng(h, w, frame_index, rng_tables)
+    rng = make_rng(h, w, frame_index, rng_tables, row0=row0)
 
     # Step-size dither (ref :390-401).
     if settings.dithering:
@@ -501,7 +516,7 @@ def trace_frame(
     # Adaptive SPP under temporal accumulation (ref :430-433).
     base_spp = settings.samples_per_pixel
     if variants.temporal_accumulation and history_sample is not None:
-        boost = (primary_surf.smoothness > 0.5) | (history_sample == 1.0)
+        boost = (primary_surf.smoothness > 0.5) | (_lane(history_sample) == 1.0)
         max_spp = max(cfg.ray_count_low_sample, base_spp)
         ray_count = jnp.where(boost, float(max_spp), float(base_spp))
     else:
@@ -626,5 +641,5 @@ def trace_frame(
     # Forward-only pixels show their emission; sky keeps camera color
     # (the shader's discard keeps the blit source).
     color = jnp.where(forward_only[..., None], primary_surf.emission, color)
-    color = jnp.where(is_background[..., None], gb.emission, color)
+    color = jnp.where(is_background[..., None], _lane(gb.emission), color)
     return color

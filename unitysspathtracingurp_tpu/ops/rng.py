@@ -77,10 +77,12 @@ class RNG:
     blue_noise: bool = struct.field(pytree_node=False, default=False)
 
 
-def make_rng(height: int, width: int, frame_index, tables=None) -> RNG:
-    """Fresh per-frame RNG grid. ``tables`` enables blue-noise mode."""
+def make_rng(height: int, width: int, frame_index, tables=None, row0=0) -> RNG:
+    """Fresh per-frame RNG grid. ``tables`` enables blue-noise mode.
+    ``row0`` offsets pixel-y coordinates for tile-sharded tracing so
+    every global pixel keeps its own stream."""
     xs = jnp.arange(width, dtype=jnp.uint32)
-    ys = jnp.arange(height, dtype=jnp.uint32)
+    ys = jnp.asarray(row0, jnp.uint32) + jnp.arange(height, dtype=jnp.uint32)
     px, py = jnp.meshgrid(xs, ys)  # (H, W)
     kw = {}
     if tables is not None:
