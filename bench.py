@@ -18,6 +18,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # The fully-unrolled march compiles slowly (minutes at 1080p); the
+    # persistent cache makes repeat bench runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from unitysspathtracingurp_tpu.config import PTConfig, PTSettings

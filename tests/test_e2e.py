@@ -1,0 +1,74 @@
+"""End-to-end accuracy tests (SURVEY.md §4): converged screen-space
+renders vs the world-space ground truth in ideal-SSPT mode, plus
+self-consistency of independent converged runs (the <=1%-RMSE budget
+is defined against the framework's own converged reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitysspathtracingurp_tpu.config import PTConfig, PTSettings
+from unitysspathtracingurp_tpu.models import fixtures, groundtruth, scene
+from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
+from unitysspathtracingurp_tpu.ops.pathtrace import trace_frame
+from unitysspathtracingurp_tpu.utils.metrics import relative_rmse
+
+H = W = 64
+CFG = PTConfig(march_unroll=4)
+
+
+def _converge(gb, cam, probes, settings, n_frames, seed0=0):
+    variants = settings.variants()
+    f = jax.jit(
+        lambda fi: trace_frame(gb, cam, probes, settings, CFG, variants, fi)
+    )
+    acc = np.zeros((H, W, 3), np.float32)
+    for i in range(n_frames):
+        acc += np.asarray(f(jnp.uint32((seed0 + 33 * i) % 64000)))
+    return acc / n_frames
+
+
+@pytest.mark.slow
+def test_box_scene_two_runs_converge_to_same_image():
+    """Two independent 256-frame accumulations agree within 1% relative
+    RMSE — the reproducibility contract of the converged reference."""
+    sc = scene.build_box_scene(with_mirror=False)
+    cam = fixtures.box_scene_camera(H, W)
+    gb = fixtures.rasterize_gbuffers(sc, cam, H, W)
+    probes = ProbeSet(probe0=constant_probe([0.0, 0.0, 0.0]))
+    settings = PTSettings(
+        maximum_depth=1, samples_per_pixel=1, maximum_steps=24, dithering=False
+    )
+    a = _converge(gb, cam, probes, settings, 256, seed0=0)
+    b = _converge(gb, cam, probes, settings, 256, seed0=17)
+    mask = np.asarray(gb.depth) > 0
+    assert relative_rmse(a, b, mask) < 0.01
+
+
+@pytest.mark.slow
+def test_box_scene_matches_ideal_sspt_oracle():
+    """Converged screen-space result tracks the ideal-SSPT world-space
+    oracle. Tolerance reflects the reference algorithm's thickness/step
+    approximations (documented in SURVEY.md §7 hard parts), not noise."""
+    sc = scene.build_box_scene(with_mirror=False)
+    cam = fixtures.box_scene_camera(H, W)
+    gb = fixtures.rasterize_gbuffers(sc, cam, H, W)
+    probes = ProbeSet(probe0=constant_probe([0.0, 0.0, 0.0]))
+    settings = PTSettings(
+        maximum_depth=1, samples_per_pixel=1, maximum_steps=24, dithering=False
+    )
+    ss = _converge(gb, cam, probes, settings, 192)
+    gt = groundtruth.path_trace(
+        sc, cam, H, W, bounces=1, spp=192, seed=7, visible_only=True
+    )
+    mask = np.asarray(gb.depth) > 0
+    # Directional consistency: same lighting structure.
+    assert relative_rmse(ss, gt, mask) < 0.45
+    # Mean brightness within 25% (march thickness/miss biases bound).
+    assert abs(ss[mask].mean() - gt[mask].mean()) / gt[mask].mean() < 0.25
+    # Color-bleed structure: red wall tints left side, green right.
+    left = ss[20:40, 2:10]
+    right = ss[20:40, -10:-2]
+    assert left[..., 0].mean() > left[..., 1].mean()
+    assert right[..., 1].mean() > right[..., 0].mean()

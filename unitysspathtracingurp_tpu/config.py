@@ -88,6 +88,13 @@ class PTConfig:
     step_growth: float = 0.1
     thickness_growth: float = 0.25
 
+    # TPU tuning (no behavioral effect): march-loop unroll factor.
+    # True = fully unroll. Gathers inside rolled XLA loops hit a ~500x
+    # slower scalar path on TPU (measured on v5e); full unrolling keeps
+    # the per-step depth fetch on the fast vectorized gather path, at
+    # the cost of one long compile (amortized by the persistent cache).
+    march_unroll: int | bool = True
+
 
 @dataclasses.dataclass(frozen=True)
 class PTVariants:
