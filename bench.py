@@ -73,14 +73,18 @@ def main():
         )
     )
 
+    # Reduce to a scalar on-device so forcing the result is cheap and
+    # honest (block_until_ready alone can return early through the
+    # device tunnel; a scalar transfer cannot).
+    sync = jax.jit(lambda gb, cam, probes, fi: jnp.sum(fn(gb, cam, probes, fi)))
+
     # Warmup/compile.
-    out = fn(gb, cam, probes, jnp.uint32(0))
-    out.block_until_ready()
+    float(sync(gb, cam, probes, jnp.uint32(0)))
 
     t0 = time.perf_counter()
     for i in range(frames):
-        out = fn(gb, cam, probes, jnp.uint32((33 * (i + 1)) % 64000))
-    out.block_until_ready()
+        out = sync(gb, cam, probes, jnp.uint32((33 * (i + 1)) % 64000))
+    float(out)
     dt = (time.perf_counter() - t0) / frames
 
     sky_fraction = float((np.asarray(gb.depth) == 0.0).mean())

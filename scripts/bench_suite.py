@@ -1,0 +1,148 @@
+"""Benchmark suite: the five BASELINE.json configs.
+
+Prints one JSON line per config (bench.py remains the driver's
+single-line headline). Run: python scripts/bench_suite.py [--small]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_frames(fn, args_fn, frames):
+    import jax
+    import jax.numpy as jnp
+
+    sync = jax.jit(lambda *a: jnp.sum(fn(*a)))
+    float(sync(*args_fn(0)))  # compile
+    t0 = time.perf_counter()
+    out = None
+    for i in range(frames):
+        out = sync(*args_fn(i + 1))
+    float(out)
+    return (time.perf_counter() - t0) / frames
+
+
+def main():
+    small = "--small" in sys.argv
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    import jax.numpy as jnp
+
+    from unitysspathtracingurp_tpu.config import (
+        DenoiserType,
+        PTConfig,
+        PTSettings,
+        ThicknessMode,
+    )
+    from unitysspathtracingurp_tpu.models import fixtures, scene
+    from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
+    from unitysspathtracingurp_tpu.ops.pathtrace import trace_frame
+    from unitysspathtracingurp_tpu.ops.temporal import TemporalState, temporal_reproject
+    from unitysspathtracingurp_tpu.ops.upscale import easu_like_upscale
+    from unitysspathtracingurp_tpu.utils.metrics import mrays_per_sec
+
+    cfg = PTConfig()
+    probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
+    frames = 2 if small else 5
+    results = []
+
+    def run_trace(name, sc, cam_fn, h, w, settings, bde=0, post=None):
+        cam = cam_fn(h, w)
+        gb = fixtures.rasterize_gbuffers(
+            sc, cam, h, w, prev_cam=cam,
+            with_backface=settings.accurate_thickness != ThicknessMode.CONSTANT,
+        )
+        variants = settings.variants()
+
+        def fn(fi):
+            img = trace_frame(
+                gb, cam, probes, settings, cfg, variants, fi,
+                back_depth_enabled=int(settings.accurate_thickness.value),
+            )
+            return post(img, gb, cam) if post else img
+
+        dt = _time_frames(fn, lambda i: (jnp.uint32(33 * i % 64000),), frames)
+        sky = float((np.asarray(gb.depth) == 0).mean())
+        mrays = mrays_per_sec(h, w, settings.samples_per_pixel,
+                              settings.maximum_depth, dt, sky)
+        results.append({
+            "config": name, "ms_per_frame": round(dt * 1e3, 1),
+            "mrays_per_sec": round(mrays, 2),
+        })
+
+    s = 0.25 if small else 1.0
+
+    # 1: BoxScene 256^2, 1 bounce diffuse-only, offline.
+    run_trace(
+        "box_256_1bounce_offline",
+        scene.build_box_scene(with_mirror=False),
+        fixtures.box_scene_camera, 256, 256,
+        PTSettings(maximum_depth=1, samples_per_pixel=1, maximum_steps=24,
+                   denoiser=DenoiserType.OFFLINE, dithering=False),
+    )
+
+    # 2: BoxScene full: 4 bounces, GGX + emission + probe fallback.
+    run_trace(
+        "box_full_4bounce",
+        scene.build_box_scene(),
+        fixtures.box_scene_camera, int(1080 * s), int(1920 * s),
+        PTSettings(maximum_depth=4, samples_per_pixel=1, maximum_steps=24,
+                   dithering=False),
+    )
+
+    # 3: Refraction: transmissive multi-bounce through glass.
+    run_trace(
+        "box_refraction",
+        scene.build_box_scene(with_glass=True, with_mirror=False),
+        fixtures.box_scene_camera, 256, 256,
+        PTSettings(maximum_depth=3, samples_per_pixel=1, maximum_steps=24,
+                   support_refraction=True,
+                   accurate_thickness=ThicknessMode.DEPTH_NORMALS,
+                   dithering=False),
+        bde=2,
+    )
+
+    # 4: Classroom 1080p real-time accumulation + reprojection.
+    h4, w4 = int(1080 * s), int(1920 * s)
+    sc4 = scene.build_classroom_scene()
+    cam4 = fixtures.classroom_camera(h4, w4)
+    gb4 = fixtures.rasterize_gbuffers(sc4, cam4, h4, w4, prev_cam=cam4)
+    settings4 = PTSettings(maximum_depth=2, samples_per_pixel=1, maximum_steps=24,
+                           denoiser=DenoiserType.TEMPORAL, dithering=False)
+    variants4 = settings4.variants()
+    state4 = TemporalState.create(h4, w4, cam4)
+
+    def fn4(fi):
+        img = trace_frame(gb4, cam4, probes, settings4, cfg, variants4, fi,
+                          history_sample=state4.history_sample)
+        res = temporal_reproject(img, gb4, cam4, state4, gb4.emission, cfg,
+                                 settings4.temporal_intensity, 0.001)
+        return res.color
+
+    dt4 = _time_frames(fn4, lambda i: (jnp.uint32(33 * i % 64000),), frames)
+    results.append({"config": "classroom_realtime",
+                    "ms_per_frame": round(dt4 * 1e3, 1),
+                    "mrays_per_sec": round(mrays_per_sec(
+                        h4, w4, 4, settings4.maximum_depth, dt4), 2)})
+
+    # 5: Figure at render-scale 0.5 + upscale.
+    h5, w5 = int(540 * s), int(960 * s)
+    run_trace(
+        "figure_halfres_upscale",
+        scene.build_figure_scene(),
+        fixtures.figure_camera, h5, w5,
+        PTSettings(maximum_depth=2, samples_per_pixel=1, maximum_steps=24,
+                   dithering=False),
+        post=lambda img, gb, cam: easu_like_upscale(img, h5 * 2, w5 * 2),
+    )
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,12 +31,23 @@ def test_smooths_noise_on_flat_regions(gb):
 
 
 def test_converged_pixels_pass_through(gb):
+    """The reference's blur gate: blurAmount = 1 - sat(min(n/8,8) - 1/8)
+    (shader:493). At the temporal clamp n=8 it is 0.125 (remapped 0.414)
+    — the discard at :494-495 only fires for n >= 9, which the temporal
+    pass never produces. We reproduce both behaviors."""
     noisy = jnp.asarray(
         np.random.default_rng(1).uniform(size=(H, W, 3)).astype(np.float32)
     )
-    full = jnp.full((H, W), float(CFG.max_accum_frame_num))
-    out = np.asarray(atrous_filter(noisy, gb, gb.emission, full, CFG))
-    assert np.allclose(out, np.asarray(noisy))
+    # n = 9: true passthrough (the dead-code discard branch).
+    out9 = np.asarray(atrous_filter(noisy, gb, gb.emission, jnp.full((H, W), 9.0), CFG))
+    assert np.allclose(out9, np.asarray(noisy))
+    # n = 8 (temporal steady state): residual blur, bounded by the 0.414
+    # remapped amount.
+    out8 = np.asarray(atrous_filter(noisy, gb, gb.emission, jnp.full((H, W), 8.0), CFG))
+    nonsky = np.asarray(gb.depth) > 0
+    delta = np.abs(out8 - np.asarray(noisy)).max(-1)[nonsky]
+    assert delta.max() > 0  # it does blur a little
+    assert np.median(delta) < 0.45  # but only the remapped fraction
 
 
 def test_sky_passes_through(gb):

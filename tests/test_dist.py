@@ -17,7 +17,7 @@ from unitysspathtracingurp_tpu.parallel.dist import (
 )
 
 H, W = 32, 32
-CFG = PTConfig(march_unroll=4)
+CFG = PTConfig(march_unroll=4, use_packed_gbuffer=False)
 SETTINGS = PTSettings(
     maximum_depth=1, samples_per_pixel=1, maximum_steps=16, dithering=False
 )
@@ -46,7 +46,7 @@ def test_tile_sharding_matches_single_device(inputs):
     single = np.asarray(
         trace_frame(gb, cam, probes, SETTINGS, CFG, variants, jnp.uint32(0))
     )
-    assert np.array_equal(sharded, single)
+    assert np.allclose(sharded, single, atol=1e-6)  # ulp-level fusion diffs
 
 
 def test_spp_sharding_is_mean_of_seeds(inputs):

@@ -15,7 +15,7 @@ from unitysspathtracingurp_tpu.ops.pathtrace import trace_frame
 from unitysspathtracingurp_tpu.utils.metrics import relative_rmse
 
 H = W = 64
-CFG = PTConfig(march_unroll=4)
+CFG = PTConfig(march_unroll=4, use_packed_gbuffer=False)
 
 
 def _converge(gb, cam, probes, settings, n_frames, seed0=0):

@@ -1,0 +1,86 @@
+"""Packed G-buffer: decode equivalence within storage quantization."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitysspathtracingurp_tpu.camera import pixel_uv
+from unitysspathtracingurp_tpu.config import PTConfig, PTSettings, ThicknessMode
+from unitysspathtracingurp_tpu.gbuffer import hit_surface_from_gbuffer
+from unitysspathtracingurp_tpu.gbuffer_packed import (
+    _pack_rgbe,
+    _unpack_rgbe,
+    hit_surface_from_packed,
+    pack_gbuffers,
+)
+from unitysspathtracingurp_tpu.models import fixtures, scene
+from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
+from unitysspathtracingurp_tpu.ops.pathtrace import trace_frame
+
+H = W = 48
+
+
+def test_rgbe_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(
+        (rng.uniform(0, 1, (256, 3)) ** 2 * rng.choice([0.01, 1, 10, 100], (256, 1))).astype(
+            np.float32
+        )
+    )
+    back = np.asarray(_unpack_rgbe(_pack_rgbe(rgb)))
+    a = np.asarray(rgb)
+    rel = np.abs(back - a) / np.maximum(a.max(axis=-1, keepdims=True), 1e-6)
+    assert rel.max() < 0.01  # 8-bit mantissa relative to the max channel
+    # exact zero preserved
+    assert np.asarray(_unpack_rgbe(_pack_rgbe(jnp.zeros((4, 3))))).max() == 0.0
+
+
+@pytest.mark.parametrize("refraction", [False, True])
+def test_packed_decode_matches_unpacked(refraction):
+    sc = scene.build_box_scene(with_glass=refraction, with_mirror=True)
+    cam = fixtures.box_scene_camera(H, W)
+    gb = fixtures.rasterize_gbuffers(sc, cam, H, W, with_backface=refraction)
+    settings = PTSettings(
+        support_refraction=refraction,
+        accurate_thickness=ThicknessMode.DEPTH_NORMALS if refraction else ThicknessMode.CONSTANT,
+    )
+    variants = settings.variants()
+    pgb = pack_gbuffers(gb)
+    uv = pixel_uv(H, W)
+    bde = 2 if refraction else 0
+    for inside in (0.0, 1.0):
+        a = hit_surface_from_gbuffer(gb, uv, jnp.full((H, W), inside), variants, bde)
+        b = hit_surface_from_packed(pgb, uv, jnp.full((H, W), inside), variants, bde)
+        assert np.abs(np.asarray(a.albedo) - np.asarray(b.albedo)).max() < 1 / 255 + 1e-6
+        assert np.abs(np.asarray(a.smoothness) - np.asarray(b.smoothness)).max() < 1 / 127 + 1e-6
+        # normals: 12-bit oct ~ 0.002 component error
+        assert np.abs(np.asarray(a.normal) - np.asarray(b.normal)).max() < 5e-3
+        assert np.array_equal(np.asarray(a.inside_object), np.asarray(b.inside_object))
+        # ior: 8-bit raw (the reference's own storage precision)
+        assert np.abs(np.asarray(a.ior) - np.asarray(b.ior)).max() < 2 / 255 * 2 + 1e-6
+        rel_em = np.abs(np.asarray(a.emission) - np.asarray(b.emission)) / np.maximum(
+            np.asarray(a.emission).max(-1, keepdims=True), 1e-6
+        )
+        assert rel_em.max() < 0.01
+
+
+def test_packed_trace_close_to_unpacked():
+    sc = scene.build_box_scene(with_mirror=False)
+    cam = fixtures.box_scene_camera(H, W)
+    gb = fixtures.rasterize_gbuffers(sc, cam, H, W)
+    probes = ProbeSet(probe0=constant_probe([0.05, 0.05, 0.05]))
+    settings = PTSettings(
+        maximum_depth=1, samples_per_pixel=1, maximum_steps=16, dithering=False
+    )
+    variants = settings.variants()
+    imgs = {}
+    for packed in (False, True):
+        cfg = PTConfig(march_unroll=4, use_packed_gbuffer=packed)
+        imgs[packed] = np.asarray(
+            trace_frame(gb, cam, probes, settings, cfg, variants, jnp.uint32(33))
+        )
+    # Identical RNG/march; only bounce material decode differs by <1/255
+    # quantization. Same-lobe selection keeps the images nearly equal.
+    diff = np.abs(imgs[True] - imgs[False])
+    assert np.median(diff) < 0.01
+    assert diff.mean() < 0.05

@@ -15,7 +15,7 @@ from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
 from unitysspathtracingurp_tpu.ops.rng import draw2, make_rng
 
 H = W = 48
-CFG = PTConfig(march_unroll=4)  # small unroll: fast CPU compiles in CI
+CFG = PTConfig(march_unroll=4, use_packed_gbuffer=False)  # small unroll: fast CPU compiles in CI
 
 
 @pytest.fixture(scope="module")
@@ -131,7 +131,9 @@ def test_tiled_trace_matches_full(box, settings):
         for r0 in range(0, H, H // 4)
     ]
     tiled = np.concatenate(blocks, axis=0)
-    assert np.array_equal(full, tiled)
+    # Identical math; XLA fuses the two paths differently so results can
+    # differ by float ulps.
+    assert np.allclose(full, tiled, atol=1e-6)
 
 
 def test_firefly_clamp(box):

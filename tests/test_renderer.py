@@ -15,7 +15,7 @@ from unitysspathtracingurp_tpu.models.renderer import Renderer
 from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
 
 H = W = 48
-CFG = PTConfig(march_unroll=4)
+CFG = PTConfig(march_unroll=4, use_packed_gbuffer=False)
 
 
 @pytest.fixture(scope="module")
@@ -27,8 +27,11 @@ def box():
 
 
 def _settings(denoiser):
+    # 24 steps: with only 16 the march never leaves the medium tier
+    # (6x0.005 + 12x0.1 ~ 1 m reach) and frames are nearly noise-free,
+    # which starves the convergence assertions below of signal.
     return PTSettings(
-        maximum_depth=1, samples_per_pixel=1, maximum_steps=16,
+        maximum_depth=1, samples_per_pixel=1, maximum_steps=24,
         denoiser=denoiser, dithering=False, progress_bar=False,
         maximum_samples=64,
     )

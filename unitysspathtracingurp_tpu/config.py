@@ -88,6 +88,11 @@ class PTConfig:
     step_growth: float = 0.1
     thickness_growth: float = 0.25
 
+    # TPU tuning: decode bounce hits from the bit-packed G-buffer
+    # (gbuffer_packed.py) — 4 texel gathers per decode instead of ~14,
+    # at the reference's own RGBA8/oct/HDR storage precision.
+    use_packed_gbuffer: bool = True
+
     # TPU tuning (no behavioral effect): march-loop unroll factor.
     # True = fully unroll. Gathers inside rolled XLA loops hit a ~500x
     # slower scalar path on TPU (measured on v5e); full unrolling keeps

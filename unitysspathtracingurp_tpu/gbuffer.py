@@ -111,12 +111,21 @@ def uv_to_pixel(uv, height: int, width: int):
 def gather2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     """Gather img[iy, ix] for arbitrary-shaped integer index arrays.
 
-    Flattened single-axis take: the form XLA:TPU lowers best.
+    Channels are gathered one at a time from flat (H*W,) planes: a row
+    gather of (N, C) with C=3 pads each row to a full 128-lane tile on
+    TPU (measured 35-50 ms per gather at 1080p vs ~0.3 ms per channel
+    plane — profiled on v5e).
     """
     h, w = img.shape[0], img.shape[1]
-    flat = img.reshape((h * w,) + img.shape[2:])
     idx = iy * w + ix
-    return jnp.take(flat, idx, axis=0, mode="clip")
+    if img.ndim == 2:
+        return jnp.take(img.reshape(h * w), idx, axis=0, mode="clip")
+    flat = img.reshape((h * w,) + img.shape[2:])
+    channels = [
+        jnp.take(flat[:, c], idx, axis=0, mode="clip")
+        for c in range(img.shape[2])
+    ]
+    return jnp.stack(channels, axis=-1)
 
 
 def hit_surface_from_gbuffer(
@@ -125,6 +134,7 @@ def hit_surface_from_gbuffer(
     inside_object: jnp.ndarray,
     variants: PTVariants,
     back_depth_enabled: int = 0,
+    direct: bool = False,
 ) -> SurfaceData:
     """Reconstruct hit-point material data from the G-buffer at ``uv``.
 
@@ -138,17 +148,26 @@ def hit_surface_from_gbuffer(
 
     ``uv``: (..., 2); ``inside_object``: (...) float. Static behavior is
     selected by ``variants`` (jit specialization, not runtime branching).
+
+    ``direct=True`` skips the gathers and reads the arrays as-is — valid
+    only when ``uv`` is exactly the full pixel grid (the primary-hit
+    shortcut, PathTracing.hlsl:423-428). Gathers cost ~15 ms each at
+    1080p on v5e; the primary decode needs none.
     """
     h, w = gb.height, gb.width
-    iy, ix = uv_to_pixel(uv, h, w)
+    if direct:
+        fetch = lambda img: img  # noqa: E731
+    else:
+        iy, ix = uv_to_pixel(uv, h, w)
+        fetch = lambda img: gather2d(img, iy, ix)  # noqa: E731
 
     # --- Opaque path (ref :168-210) ---
-    albedo = gather2d(gb.albedo, iy, ix)
-    flags = gather2d(gb.material_flags, iy, ix)
-    g1 = gather2d(gb.gbuffer1, iy, ix)
-    normal = gather2d(gb.normal, iy, ix)
-    smoothness = gather2d(gb.smoothness, iy, ix)
-    emission = gather2d(gb.emission, iy, ix)
+    albedo = fetch(gb.albedo)
+    flags = fetch(gb.material_flags)
+    g1 = fetch(gb.gbuffer1)
+    normal = fetch(gb.normal)
+    smoothness = fetch(gb.smoothness)
+    emission = fetch(gb.emission)
 
     is_forward = jnp.zeros_like(smoothness, dtype=bool)
     if variants.ignore_forward_objects:
@@ -172,18 +191,18 @@ def hit_surface_from_gbuffer(
         # A transparent G-buffer lookup applies while the ray is not about
         # to exit (insideObject != 2).
         is_t_layer = inside_object != 2.0
-        t_type = gather2d(gb.t_surface_type, iy, ix)
+        t_type = fetch(gb.t_surface_type)
         use_t = is_t_layer & (t_type == SURFACE_TYPE_REFRACTION)
 
-        t_albedo = gather2d(gb.t_albedo, iy, ix)
-        t_ior = gather2d(gb.t_ior_raw, iy, ix) * 2.0 + 0.921875
-        t_normal = gather2d(gb.t_normal, iy, ix)
-        t_smooth = gather2d(gb.t_smoothness, iy, ix)
+        t_albedo = fetch(gb.t_albedo)
+        t_ior = fetch(gb.t_ior_raw) * 2.0 + 0.921875
+        t_normal = fetch(gb.t_normal)
+        t_smooth = fetch(gb.t_smoothness)
 
         # Normal flip for rays inside the object (ref :146-161).
         entering_back = inside_object == 1.0
         if back_depth_enabled == 2 and gb.back_normal is not None:
-            bn = gather2d(gb.back_normal, iy, ix)
+            bn = fetch(gb.back_normal)
             has_bn = jnp.any(bn != 0.0, axis=-1)
             flipped = jnp.where(has_bn[..., None], -bn, -t_normal)
         else:

@@ -167,6 +167,11 @@ def rasterize_gbuffers(
     # --- Motion vectors (velocity = uv - prev_uv of the same world point).
     if prev_cam is not None:
         prev_vp = np.asarray(prev_cam.view_proj)
+        if np.array_equal(prev_vp, vp):
+            # Static camera: exactly zero velocity (as engine motion
+            # vectors are), not fp32 reprojection noise.
+            gb["motion"] = jnp.zeros((h, w, 2), jnp.float32)
+            return GBuffers(**gb)
         uv = _np_pixel_uv(h, w).reshape(-1, 2)
         # Sky pixels reproject the far plane.
         pts = np.where(
@@ -189,6 +194,30 @@ def box_scene_camera(height: int, width: int, jitter: float = 0.0) -> Camera:
         target=[0.0, 1.5, 0.0],
         up=[0.0, 1.0, 0.0],
         fov_y=np.radians(50.0),
+        aspect=width / height,
+        near=0.1,
+        far=100.0,
+    )
+
+
+def classroom_camera(height: int, width: int, jitter: float = 0.0) -> Camera:
+    return make_camera(
+        eye=[0.0 + jitter, 1.6, 4.2],
+        target=[0.0, 1.2, -2.0],
+        up=[0.0, 1.0, 0.0],
+        fov_y=np.radians(60.0),
+        aspect=width / height,
+        near=0.1,
+        far=100.0,
+    )
+
+
+def figure_camera(height: int, width: int, jitter: float = 0.0) -> Camera:
+    return make_camera(
+        eye=[1.6 + jitter, 1.4, 3.0],
+        target=[0.0, 1.2, 0.0],
+        up=[0.0, 1.0, 0.0],
+        fov_y=np.radians(45.0),
         aspect=width / height,
         near=0.1,
         far=100.0,

@@ -117,7 +117,12 @@ class Renderer:
         probes: Optional[ProbeSet] = None,
         fov_y: float = np.radians(60.0),
         hdr_64bit: bool = True,
+        display_size: Optional[tuple] = None,
     ):
+        """``display_size=(H_out, W_out)`` enables the render-scale path
+        (reference: renderScale 0.7 demo / 0.5 mobile guidance,
+        README.md:58): trace at (height, width), upscale the displayed
+        image with the edge-adaptive upscaler."""
         settings.validate()
         self.settings = settings
         self.cfg = cfg
@@ -142,6 +147,7 @@ class Renderer:
         self.temporal_state: Optional[TemporalState] = None
         self._prev_vp: Optional[np.ndarray] = None
         self._scene_key = None
+        self.display_size = display_size
 
     # ----- invalidation (cs:772-823) -----
     def _check_invalidation(self, cam: Camera, scene_key=None):
@@ -195,6 +201,10 @@ class Renderer:
             )
 
         self.frame_index = advance_frame_index(self.frame_index)
+        if self.display_size is not None:
+            from ..ops.upscale import easu_like_upscale
+
+            image = easu_like_upscale(image, *self.display_size)
         return image
 
     # ----- checkpoint / resume (SURVEY.md §5.4) -----

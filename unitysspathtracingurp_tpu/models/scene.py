@@ -176,7 +176,19 @@ def intersect_primitive(p, o, d, backface=False):
 
 def intersect_scene(prims, o, d, backface=False):
     """Nearest hit over ``prims``. Returns (t, normal, prim_index);
-    t = +inf, index = -1 on miss."""
+    t = +inf, index = -1 on miss. Uses the native C++ rasterizer
+    (native/rasterizer.cpp) when available; numpy otherwise."""
+    from . import native_raster
+
+    native = native_raster.intersect_scene_native(prims, o, d, backface)
+    if native is not None:
+        return native
+    return _intersect_scene_numpy(prims, o, d, backface)
+
+
+def _intersect_scene_numpy(prims, o, d, backface=False):
+    """Pure-numpy reference implementation (also the native path's
+    correctness oracle, see tests/test_native_raster.py)."""
     n_rays = o.shape[0]
     best_t = np.full(n_rays, INF, np.float32)
     best_n = np.zeros((n_rays, 3), np.float32)
@@ -230,6 +242,64 @@ def build_box_scene(with_glass: bool = False, with_mirror: bool = True) -> Scene
     if with_glass:
         prims.append(Sphere((-0.1, 0.7, 0.9), 0.7, GLASS))
     return Scene(primitives=prims, sky_color=(0.0, 0.0, 0.0))
+
+
+def build_classroom_scene() -> Scene:
+    """Classroom-like interior (the reference's 'Classroom' demo is not
+    redistributable, README.md:36-42 — this synthesizes an equivalent
+    workload: a room with window light, desks, and a board)."""
+    wall = Material(albedo=(0.65, 0.62, 0.55), smoothness=0.1)
+    floor_m = Material(albedo=(0.45, 0.35, 0.25), smoothness=0.35)
+    ceil_m = Material(albedo=(0.8, 0.8, 0.8), smoothness=0.05)
+    desk = Material(albedo=(0.5, 0.33, 0.18), smoothness=0.45)
+    board = Material(albedo=(0.05, 0.15, 0.08), smoothness=0.7)
+    window = Material(albedo=(1, 1, 1), smoothness=0.0, emission=(6.0, 6.2, 6.8))
+    lamp = Material(albedo=(1, 1, 1), smoothness=0.0, emission=(3.0, 3.0, 2.6))
+    sx, h, sz = 4.0, 3.0, 5.0
+    prims = [
+        Quad((-sx, 0, -sz), (0, 0, 2 * sz), (2 * sx, 0, 0), floor_m),
+        Quad((-sx, h, -sz), (2 * sx, 0, 0), (0, 0, 2 * sz), ceil_m),
+        Quad((-sx, 0, -sz), (2 * sx, 0, 0), (0, h, 0), wall),  # back
+        Quad((-sx, 0, -sz), (0, h, 0), (0, 0, 2 * sz), wall),  # left
+        Quad((sx, 0, -sz), (0, 0, 2 * sz), (0, h, 0), wall),  # right
+        # Window on the left wall (emissive daylight).
+        Quad((-sx + 0.01, 1.0, -3.0), (0, 1.6, 0), (0, 0, 2.5), window),
+        # Ceiling lamp strip.
+        Quad((-0.4, h - 0.01, -3.5), (0.8, 0, 0), (0, 0, 4.0), lamp),
+        # Blackboard on the back wall.
+        Quad((-2.5, 1.0, -sz + 0.02), (5.0, 0, 0), (0, 1.5, 0), board),
+    ]
+    # Rows of desks.
+    for rz in (-2.5, -0.5, 1.5):
+        for rx in (-2.5, 0.0, 2.5):
+            prims.append(Box((rx - 0.6, 0.0, rz - 0.4), (rx + 0.6, 0.75, rz + 0.4), desk))
+    return Scene(primitives=prims, sky_color=(0.0, 0.0, 0.0))
+
+
+def build_figure_scene() -> Scene:
+    """Figure-on-pedestal scene (the 'Stormtrooper' stand-in — the mesh
+    is not redistributable): a glossy figure built from spheres/boxes on
+    a pedestal under a soft area light; used by the render-scale +
+    upscale config."""
+    ground = Material(albedo=(0.55, 0.55, 0.58), smoothness=0.3)
+    pedestal = Material(albedo=(0.2, 0.2, 0.22), smoothness=0.6)
+    body = Material(albedo=(0.9, 0.9, 0.92), smoothness=0.75, metallic=0.1)
+    dark = Material(albedo=(0.08, 0.08, 0.08), smoothness=0.5)
+    light = Material(albedo=(1, 1, 1), smoothness=0.0, emission=(4.5, 4.5, 4.5))
+    prims = [
+        Quad((-5, 0, -5), (0, 0, 10), (10, 0, 0), ground),
+        Box((-0.7, 0.0, -0.7), (0.7, 0.5, 0.7), pedestal),
+        # torso, head, limbs
+        Box((-0.35, 0.9, -0.2), (0.35, 1.7, 0.2), body),
+        Sphere((0.0, 1.95, 0.0), 0.26, body),
+        Box((-0.55, 0.9, -0.12), (-0.37, 1.6, 0.12), dark),
+        Box((0.37, 0.9, -0.12), (0.55, 1.6, 0.12), dark),
+        Box((-0.3, 0.5, -0.12), (-0.08, 0.95, 0.12), dark),
+        Box((0.08, 0.5, -0.12), (0.3, 0.95, 0.12), dark),
+        # key light panel, visible in frame
+        Quad((-2.2, 0.3, -1.8), (1.4, 0, 0.6), (0, 2.2, 0), light),
+    ]
+    return Scene(primitives=prims, sky_color=(0.02, 0.02, 0.03))
 
 
 def build_plane_scene() -> Scene:

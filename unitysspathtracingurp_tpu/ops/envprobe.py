@@ -46,6 +46,9 @@ def oct_decode(uv):
 def sample_bilinear(texture, uv):
     """Bilinear sample of an (R, R, C) texture at uv in [0,1]^2 (clamped)."""
     h, w = texture.shape[0], texture.shape[1]
+    if h == 1 and w == 1:
+        # Constant texture (e.g. uniform sky probe): no gather needed.
+        return jnp.broadcast_to(texture[0, 0], uv.shape[:-1] + (texture.shape[-1],))
     x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
     y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -55,9 +58,15 @@ def sample_bilinear(texture, uv):
     fx = (x - x0.astype(x.dtype))[..., None]
     fy = (y - y0.astype(y.dtype))[..., None]
     flat = texture.reshape(h * w, -1)
+    n_ch = flat.shape[-1]
 
     def at(yy, xx):
-        return jnp.take(flat, yy * w + xx, axis=0, mode="clip")
+        # Per-channel plane gathers (row gathers of C<128 pad badly on TPU).
+        idx = yy * w + xx
+        return jnp.stack(
+            [jnp.take(flat[:, c], idx, axis=0, mode="clip") for c in range(n_ch)],
+            axis=-1,
+        )
 
     top = at(y0, x0) * (1 - fx) + at(y0, x1) * fx
     bot = at(y1, x0) * (1 - fx) + at(y1, x1) * fx
@@ -88,8 +97,9 @@ class ProbeSet:
     is_probe_camera: jnp.ndarray | None = None  # () damp x0.3 when rendering a probe
 
 
-def constant_probe(color, resolution: int = 8) -> EnvProbe:
-    """Uniform-radiance probe (constant sky), for tests and fixtures."""
+def constant_probe(color, resolution: int = 1) -> EnvProbe:
+    """Uniform-radiance probe (constant sky), for tests and fixtures.
+    Resolution 1 hits sample_bilinear's broadcast fast path (no gather)."""
     color = jnp.asarray(color, jnp.float32)
     tex = jnp.broadcast_to(color, (resolution, resolution, 3))
     return EnvProbe(

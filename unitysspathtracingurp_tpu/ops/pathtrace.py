@@ -446,10 +446,22 @@ def evaluate_brdf(
 
 
 def _apply_backface_normal_flip(surf, gb, uv, is_back_hit, variants, back_depth_enabled):
-    """Back-hit normal reversal (ref PathTracing.hlsl:219-232)."""
+    """Back-hit normal reversal (ref PathTracing.hlsl:219-232).
+    ``gb`` may be GBuffers or PackedGBuffers."""
     if not variants.backface_textures:
         return surf
-    if back_depth_enabled == 2 and gb.back_normal is not None:
+    from ..gbuffer_packed import PackedGBuffers, _unpack_oct12
+
+    if isinstance(gb, PackedGBuffers):
+        if back_depth_enabled == 2 and gb.bn_pack is not None:
+            iy, ix = uv_to_pixel(uv, gb.height, gb.width)
+            bw = gather2d(gb.bn_pack, iy, ix)
+            bn = _unpack_oct12(bw)
+            has_bn = (bw >> jnp.uint32(31)) == 1
+            flipped = jnp.where(has_bn[..., None], -bn, -surf.normal)
+        else:
+            flipped = -surf.normal
+    elif back_depth_enabled == 2 and gb.back_normal is not None:
         iy, ix = uv_to_pixel(uv, gb.height, gb.width)
         bn = gather2d(gb.back_normal, iy, ix)
         has_bn = jnp.any(bn != 0.0, axis=-1)
@@ -514,9 +526,17 @@ def trace_frame(
     # Primary-hit shortcut: bounce 0 is the G-buffer pixel itself
     # (ref :423-428). The decode also runs the refraction state machine.
     inside0 = jnp.zeros((h, w), jnp.float32)
-    primary_surf = hit_surface_from_gbuffer(
-        gb, uv, inside0, variants, back_depth_enabled
-    )
+    # Primary decode reads the G-buffer directly (uv == the pixel grid):
+    # no gathers. Tiled lanes still gather (uv is offset into the full
+    # buffer).
+    if lane_height is None:
+        primary_surf = hit_surface_from_gbuffer(
+            gb, uv, inside0, variants, back_depth_enabled, direct=True
+        )
+    else:
+        primary_surf = hit_surface_from_gbuffer(
+            gb, uv, inside0, variants, back_depth_enabled
+        )
     primary_dist = jnp.linalg.norm(cam.position - position_ws, axis=-1)
 
     # Adaptive SPP under temporal accumulation (ref :430-433).
@@ -537,6 +557,27 @@ def trace_frame(
         forward_only = jnp.zeros((h, w), bool)
 
     traceable = ~is_background & ~forward_only
+
+    # Bounce-hit decoder: packed (4 gathers) or unpacked (~14 gathers).
+    if cfg.use_packed_gbuffer:
+        from ..gbuffer_packed import hit_surface_from_packed, pack_gbuffers
+
+        pgb = pack_gbuffers(gb)
+
+        def decode_at(uv_, inside_):
+            return hit_surface_from_packed(
+                pgb, uv_, inside_, variants, back_depth_enabled
+            )
+
+        flip_src = pgb
+    else:
+
+        def decode_at(uv_, inside_):
+            return hit_surface_from_gbuffer(
+                gb, uv_, inside_, variants, back_depth_enabled
+            )
+
+        flip_src = gb
 
     color = jnp.zeros((h, w, 3), jnp.float32)
 
@@ -592,11 +633,9 @@ def trace_frame(
                 depth_quirk,
                 alive,
             )
-            surf = hit_surface_from_gbuffer(
-                gb, march.uv, inside, variants, back_depth_enabled
-            )
+            surf = decode_at(march.uv, inside)
             surf = _apply_backface_normal_flip(
-                surf, gb, march.uv, march.is_back_hit, variants, back_depth_enabled
+                surf, flip_src, march.uv, march.is_back_hit, variants, back_depth_enabled
             )
             hit_pos = march.position + surf.normal * cfg.ray_bias  # ref :235
 

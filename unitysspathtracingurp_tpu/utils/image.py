@@ -38,9 +38,18 @@ def hsv_to_rgb(hsv):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    # Select chains instead of jnp.choose: choose lowers to per-element
+    # 3D gathers, which are scalar-slow on TPU.
+    def pick(options):
+        out = options[0]
+        for k in range(1, 6):
+            out = jnp.where(i == k, options[k], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
