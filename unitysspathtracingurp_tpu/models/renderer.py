@@ -118,11 +118,16 @@ class Renderer:
         fov_y: float = np.radians(60.0),
         hdr_64bit: bool = True,
         display_size: Optional[tuple] = None,
+        mesh=None,
     ):
         """``display_size=(H_out, W_out)`` enables the render-scale path
         (reference: renderScale 0.7 demo / 0.5 mobile guidance,
         README.md:58): trace at (height, width), upscale the displayed
-        image with the edge-adaptive upscaler."""
+        image with the edge-adaptive upscaler.
+
+        ``mesh``: an ('spp', 'tile') jax Mesh (parallel.dist.make_mesh)
+        — offline frames then trace sharded across chips (replicated
+        G-buffer, pmean over the sample axis, row-band tiles)."""
         settings.validate()
         self.settings = settings
         self.cfg = cfg
@@ -148,6 +153,23 @@ class Renderer:
         self._prev_vp: Optional[np.ndarray] = None
         self._scene_key = None
         self.display_size = display_size
+        self.mesh = mesh
+        if mesh is not None:
+            from functools import partial
+
+            from ..parallel.dist import render_step_sharded
+
+            self._sharded_step = jax.jit(
+                partial(
+                    render_step_sharded,
+                    mesh,
+                    settings=self.settings,
+                    cfg=self.cfg,
+                    variants=self.variants,
+                    max_sample=self.max_sample,
+                ),
+                static_argnames=(),
+            )
 
     # ----- invalidation (cs:772-823) -----
     def _check_invalidation(self, cam: Camera, scene_key=None):
@@ -177,6 +199,12 @@ class Renderer:
             # Skip tracing once converged (cs:436-438) — pure host control.
             if denoiser == DenoiserType.OFFLINE and self.sample >= self.max_sample:
                 image = self.offline_state.accum
+            elif self.mesh is not None:
+                traced, self.offline_state = self._sharded_step(
+                    gb, cam, self.probes, self.offline_state,
+                    jnp.uint32(self.frame_index),
+                )
+                image = traced if denoiser == DenoiserType.NONE else self.offline_state.accum
             else:
                 traced, self.offline_state = _offline_step(
                     gb, cam, self.probes, self.offline_state,

@@ -345,7 +345,7 @@ def evaluate_brdf(
     do_refraction = surf.ior != -1.0
     refl_albedo = brdf.reflectivity_specular(surf.albedo)
     refl_spec = brdf.reflectivity_specular(
-        jnp.maximum(surf.specular, brdf.EPS + 0.04 - brdf.EPS)  # kDieletricSpec
+        jnp.maximum(surf.specular, 0.04)  # kDieletricSpec floor (ref :268)
     )
     refract_p = jnp.where(do_refraction, refl_albedo, 0.0)
     spec_p = jnp.where(do_refraction, 1.0 - refract_p, refl_spec)

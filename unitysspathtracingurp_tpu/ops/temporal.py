@@ -77,13 +77,11 @@ def _point(img, uv):
 
 
 def _shift(img, dx, dy):
-    """Point sample at uv + texel*(dx, dy) == clamped integer shift."""
-    out = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
-    # emulate clamp-to-edge instead of wrap
+    """Point sample at uv + texel*(dx, dy) == clamped integer shift
+    (dense slice, no gather)."""
     h, w = img.shape[0], img.shape[1]
     iy = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
     ix = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    del out
     return img[iy][:, ix]
 
 
