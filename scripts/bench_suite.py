@@ -2,13 +2,23 @@
 
 Prints one JSON line per config (bench.py remains the driver's
 single-line headline). Run: python scripts/bench_suite.py [--small]
+
+Each config runs in its own subprocess: the tunneled TPU backend errors
+(INVALID_ARGUMENT) when a process executes a second large compiled
+program after certain first ones; per-config process isolation avoids it.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+CONFIG_NAMES = ["box1", "box4", "refraction", "classroom", "figure"]
 
 
 def _time_frames(fn, args_fn, frames):
@@ -18,15 +28,33 @@ def _time_frames(fn, args_fn, frames):
     sync = jax.jit(lambda *a: jnp.sum(fn(*a)))
     float(sync(*args_fn(0)))  # compile
     t0 = time.perf_counter()
-    out = None
     for i in range(frames):
-        out = sync(*args_fn(i + 1))
-    float(out)
+        # Force each frame: the tunneled device errors on deep async
+        # queues, and per-frame host sync costs only ~30 ms.
+        float(sync(*args_fn(i + 1)))
     return (time.perf_counter() - t0) / frames
 
 
 def main():
     small = "--small" in sys.argv
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1]
+    if only is None:
+        # Orchestrate: one subprocess per config (see module docstring).
+        for name in CONFIG_NAMES:
+            args = [sys.executable, os.path.abspath(__file__), f"--only={name}"]
+            if small:
+                args.append("--small")
+            proc = subprocess.run(args, capture_output=True, text=True, timeout=3000)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+            if proc.returncode != 0:
+                print(json.dumps({"config": name, "error": proc.stderr.strip()[-200:]}))
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
@@ -77,7 +105,8 @@ def main():
     s = 0.25 if small else 1.0
 
     # 1: BoxScene 256^2, 1 bounce diffuse-only, offline.
-    run_trace(
+    if only == "box1":
+        run_trace(
         "box_256_1bounce_offline",
         scene.build_box_scene(with_mirror=False),
         fixtures.box_scene_camera, 256, 256,
@@ -86,7 +115,8 @@ def main():
     )
 
     # 2: BoxScene full: 4 bounces, GGX + emission + probe fallback.
-    run_trace(
+    if only == "box4":
+        run_trace(
         "box_full_4bounce",
         scene.build_box_scene(),
         fixtures.box_scene_camera, int(1080 * s), int(1920 * s),
@@ -95,7 +125,8 @@ def main():
     )
 
     # 3: Refraction: transmissive multi-bounce through glass.
-    run_trace(
+    if only == "refraction":
+        run_trace(
         "box_refraction",
         scene.build_box_scene(with_glass=True, with_mirror=False),
         fixtures.box_scene_camera, 256, 256,
@@ -107,38 +138,44 @@ def main():
     )
 
     # 4: Classroom 1080p real-time accumulation + reprojection.
-    h4, w4 = int(1080 * s), int(1920 * s)
-    sc4 = scene.build_classroom_scene()
-    cam4 = fixtures.classroom_camera(h4, w4)
-    gb4 = fixtures.rasterize_gbuffers(sc4, cam4, h4, w4, prev_cam=cam4)
-    settings4 = PTSettings(maximum_depth=2, samples_per_pixel=1, maximum_steps=24,
-                           denoiser=DenoiserType.TEMPORAL, dithering=False)
-    variants4 = settings4.variants()
-    state4 = TemporalState.create(h4, w4, cam4)
+    if only == "classroom":
+        h4, w4 = int(1080 * s), int(1920 * s)
+        sc4 = scene.build_classroom_scene()
+        cam4 = fixtures.classroom_camera(h4, w4)
+        gb4 = fixtures.rasterize_gbuffers(sc4, cam4, h4, w4, prev_cam=cam4)
+        settings4 = PTSettings(maximum_depth=2, samples_per_pixel=1, maximum_steps=24,
+                               denoiser=DenoiserType.TEMPORAL, dithering=False)
+        variants4 = settings4.variants()
+        state4 = TemporalState.create(h4, w4, cam4)
 
-    def fn4(fi):
-        img = trace_frame(gb4, cam4, probes, settings4, cfg, variants4, fi,
-                          history_sample=state4.history_sample)
-        res = temporal_reproject(img, gb4, cam4, state4, gb4.emission, cfg,
-                                 settings4.temporal_intensity, 0.001)
-        return res.color
+        def fn4(fi):
+            img = trace_frame(gb4, cam4, probes, settings4, cfg, variants4, fi,
+                              history_sample=state4.history_sample)
+            res = temporal_reproject(img, gb4, cam4, state4, gb4.emission, cfg,
+                                     settings4.temporal_intensity, 0.001)
+            return res.color
 
-    dt4 = _time_frames(fn4, lambda i: (jnp.uint32(33 * i % 64000),), frames)
-    results.append({"config": "classroom_realtime",
-                    "ms_per_frame": round(dt4 * 1e3, 1),
-                    "mrays_per_sec": round(mrays_per_sec(
-                        h4, w4, 4, settings4.maximum_depth, dt4), 2)})
+        dt4 = _time_frames(fn4, lambda i: (jnp.uint32(33 * i % 64000),), frames)
+        # Temporal mode pads every lane to the adaptive-SPP maximum
+        # (RAY_COUNT_LOW_SAMPLE=4, PathTracing.hlsl:430-433) — that is
+        # the work actually executed per pixel.
+        effective_spp = max(cfg.ray_count_low_sample, settings4.samples_per_pixel)
+        results.append({"config": "classroom_realtime",
+                        "ms_per_frame": round(dt4 * 1e3, 1),
+                        "mrays_per_sec": round(mrays_per_sec(
+                            h4, w4, effective_spp, settings4.maximum_depth, dt4), 2)})
 
     # 5: Figure at render-scale 0.5 + upscale.
-    h5, w5 = int(540 * s), int(960 * s)
-    run_trace(
-        "figure_halfres_upscale",
-        scene.build_figure_scene(),
-        fixtures.figure_camera, h5, w5,
-        PTSettings(maximum_depth=2, samples_per_pixel=1, maximum_steps=24,
-                   dithering=False),
-        post=lambda img, gb, cam: easu_like_upscale(img, h5 * 2, w5 * 2),
-    )
+    if only == "figure":
+        h5, w5 = int(540 * s), int(960 * s)
+        run_trace(
+            "figure_halfres_upscale",
+            scene.build_figure_scene(),
+            fixtures.figure_camera, h5, w5,
+            PTSettings(maximum_depth=2, samples_per_pixel=1, maximum_steps=24,
+                       dithering=False),
+            post=lambda img, gb, cam: easu_like_upscale(img, h5 * 2, w5 * 2),
+        )
 
     for r in results:
         print(json.dumps(r))

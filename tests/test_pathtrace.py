@@ -136,6 +136,42 @@ def test_tiled_trace_matches_full(box, settings):
     assert np.allclose(full, tiled, atol=1e-6)
 
 
+def test_spp_vmap_reduces_noise(box):
+    """samples_per_pixel > 1 runs the vmapped sample axis: finite output,
+    consistent mean, lower noise vs a single-sample frame."""
+    _, cam, gb = box
+    probes = ProbeSet(probe0=constant_probe([0.0, 0.0, 0.0]))
+    ref_settings = PTSettings(
+        maximum_depth=1, samples_per_pixel=1, maximum_steps=24, dithering=False
+    )
+    variants = ref_settings.variants()
+    ref = np.mean(
+        [
+            np.asarray(
+                pathtrace.trace_frame(
+                    gb, cam, probes, ref_settings, CFG, variants, jnp.uint32(33 * i)
+                )
+            )
+            for i in range(12)
+        ],
+        axis=0,
+    )
+    outs = {}
+    for spp in (1, 4):
+        s = PTSettings(
+            maximum_depth=1, samples_per_pixel=spp, maximum_steps=24, dithering=False
+        )
+        outs[spp] = np.asarray(
+            pathtrace.trace_frame(gb, cam, probes, s, CFG, s.variants(), jnp.uint32(33))
+        )
+    assert np.isfinite(outs[4]).all()
+    mask = np.asarray(gb.depth) > 0
+    assert abs(outs[4][mask].mean() - ref[mask].mean()) < 0.05
+    e1 = np.abs(outs[1] - ref)[mask].mean()
+    e4 = np.abs(outs[4] - ref)[mask].mean()
+    assert e4 < e1
+
+
 def test_firefly_clamp(box):
     _, cam, gb = box
     settings = PTSettings(

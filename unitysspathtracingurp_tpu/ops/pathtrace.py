@@ -579,17 +579,20 @@ def trace_frame(
 
         flip_src = gb
 
-    color = jnp.zeros((h, w, 3), jnp.float32)
-
-    for s in range(max_spp):
+    def sample_body(s, rng_s):
+        """One path sample for every pixel lane; returns its radiance
+        contribution. Draw layout per sample is deterministic (3 draws
+        for bounce 0 + 4 per bounce), so samples can run with offset
+        counters in parallel, bit-identical to sequential threading."""
         sample_active = (s < ray_count) & traceable
+        color_s = jnp.zeros((h, w, 3), jnp.float32)
 
         # Bounce 0: shade the primary hit.
         energy = jnp.ones((h, w, 3), jnp.float32)
         res = evaluate_brdf(
             cfg,
             variants,
-            rng,
+            rng_s,
             ray_dir=-view_dir,
             ray_pos=jnp.broadcast_to(cam.position, (h, w, 3)),
             energy=energy,
@@ -600,8 +603,8 @@ def trace_frame(
             primary_pos=position_ws,
             probes=probes,
         )
-        rng = res.rng
-        color += jnp.where(
+        rng_s = res.rng
+        color_s += jnp.where(
             sample_active[..., None],
             energy * res.radiance * inv_ray_count[..., None],
             0.0,
@@ -642,7 +645,7 @@ def trace_frame(
             res = evaluate_brdf(
                 cfg,
                 variants,
-                rng,
+                rng_s,
                 ray_dir=ray_dir,
                 ray_pos=ray_pos,
                 energy=energy,
@@ -653,8 +656,8 @@ def trace_frame(
                 primary_pos=position_ws,
                 probes=probes,
             )
-            rng = res.rng
-            color += jnp.where(
+            rng_s = res.rng
+            color_s += jnp.where(
                 alive[..., None],
                 energy * res.radiance * inv_ray_count[..., None],
                 0.0,
@@ -668,7 +671,7 @@ def trace_frame(
 
             # Russian roulette (ref :481-493): survivors boosted by the
             # inverse of the max channel throughput.
-            stop_energy, rng = draw(rng)
+            stop_energy, rng_s = draw(rng_s)
             max_energy = jnp.max(energy, axis=-1)
             survive = max_energy >= stop_energy
             energy = jnp.where(
@@ -677,6 +680,19 @@ def trace_frame(
                 energy,
             )
             alive = alive & survive
+        return color_s
+
+    draws_per_sample = 3 + settings.maximum_depth * 4
+    if max_spp == 1:
+        color = sample_body(0, rng)
+    else:
+        # vmap over the sample axis: one graph instead of max_spp copies
+        # (gathers and march arithmetic batch over (S, H, W) lanes).
+        def vmapped(s):
+            rng_s = rng.replace(seed=rng.seed + jnp.uint32(s) * jnp.uint32(draws_per_sample))
+            return sample_body(s, rng_s)
+
+        color = jnp.sum(jax.vmap(vmapped)(jnp.arange(max_spp)), axis=0)
 
     # Firefly suppression: HSV value clamp (shader:141-144).
     from ..utils.image import clamp_brightness_hsv
