@@ -60,6 +60,51 @@ def test_box_scene_two_runs_converge_to_same_image():
 
 
 @pytest.mark.slow
+def test_golden_fixture_regression():
+    """Accumulate 512 frames (the reference's offline budget) at 256² and
+    compare against the committed CPU golden (4096 frames). Gates
+    behavioral regressions in march/BRDF/RNG: pooled noise at this budget
+    is ~2.5%, so a 3.5% threshold trips on any systematic change.
+
+    The golden must be same-platform: ~1% of pixels legitimately flip
+    hit/miss between CPU and TPU fp32 (chaotic march branches), which a
+    cross-platform gate would misread as regressions. The TPU golden
+    (box256_golden.npz) serves scripts/quality_report.py on device.
+    """
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "..", "fixtures", "box256_golden_cpu.npz"
+    )
+    if not os.path.exists(golden_path):
+        pytest.skip("golden fixture not present")
+    golden = np.load(golden_path)["image"]
+    R = 256
+    sc = scene.build_box_scene(with_mirror=False)
+    cam = fixtures.box_scene_camera(R, R)
+    gb = fixtures.rasterize_gbuffers(sc, cam, R, R)
+    probes = ProbeSet(probe0=constant_probe([0.0, 0.0, 0.0]))
+    settings = PTSettings(
+        maximum_depth=1, samples_per_pixel=1, maximum_steps=24, dithering=False
+    )
+    # The golden was produced with the packed decode (production default).
+    cfg = PTConfig(march_unroll=4)
+    variants = settings.variants()
+    f = jax.jit(lambda fi: trace_frame(gb, cam, probes, settings, cfg, variants, fi))
+    acc = np.zeros((R, R, 3), np.float64)
+    n = 512
+    for i in range(n):
+        acc += np.asarray(f(jnp.uint32(33 * i % 64000)))
+    acc /= n
+
+    def pool(x):
+        return np.asarray(x).reshape(R // 4, 4, R // 4, 4, 3).mean((1, 3))
+
+    pmask = np.asarray(gb.depth).reshape(R // 4, 4, R // 4, 4).min((1, 3)) > 0
+    assert relative_rmse(pool(acc), pool(golden), pmask) < 0.035
+
+
+@pytest.mark.slow
 def test_box_scene_matches_ideal_sspt_oracle():
     """Converged screen-space result tracks the ideal-SSPT world-space
     oracle. Tolerance reflects the reference algorithm's thickness/step
