@@ -187,6 +187,14 @@ class Renderer:
     def sample(self) -> int:
         return int(self.offline_state.sample)
 
+    def bind_probes(self, probe_list, positions, cam: Camera):
+        """Per-frame probe binding (the PathTracingSetReflectionProbe
+        behavior, C11): select the two closest probes to the camera and
+        make them the tracer's environment fallback."""
+        from .probes import closest_probes
+
+        self.probes = closest_probes(probe_list, positions, np.asarray(cam.position))
+
     def render_frame(self, gb: GBuffers, cam: Camera, scene_key=None):
         """Render one frame; returns the displayed image (H, W, 3)."""
         if not self.settings.state:
