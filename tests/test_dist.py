@@ -71,6 +71,31 @@ def test_spp_sharding_is_mean_of_seeds(inputs):
     assert np.allclose(sharded, np.mean(singles, axis=0), atol=1e-6)
 
 
+def test_renderer_with_mesh(inputs):
+    """Renderer(mesh=...) drives offline frames through the sharded step
+    and matches the single-device renderer's accumulation statistics."""
+    from unitysspathtracingurp_tpu.config import DenoiserType
+    from unitysspathtracingurp_tpu.models.renderer import Renderer
+
+    gb, cam, probes = inputs
+    import dataclasses
+
+    settings = dataclasses.replace(
+        SETTINGS, denoiser=DenoiserType.OFFLINE, progress_bar=False
+    )
+    mesh = make_mesh(n_spp=2, n_tile=4)
+    r_mesh = Renderer(settings, H, W, cfg=CFG, probes=probes, mesh=mesh)
+    r_single = Renderer(settings, H, W, cfg=CFG, probes=probes)
+    for _ in range(4):
+        img_m = np.asarray(r_mesh.render_frame(gb, cam))
+        img_s = np.asarray(r_single.render_frame(gb, cam))
+    assert r_mesh.sample == r_single.sample == 4
+    assert np.isfinite(img_m).all()
+    # Same scene, 2x the samples on the mesh: statistics agree closely.
+    mask = np.asarray(gb.depth) > 0
+    assert abs(img_m[mask].mean() - img_s[mask].mean()) < 0.05
+
+
 def test_render_step_sharded_accumulates(inputs):
     gb, cam, probes = inputs
     mesh = make_mesh(n_spp=2, n_tile=4)

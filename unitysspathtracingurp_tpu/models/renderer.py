@@ -155,21 +155,16 @@ class Renderer:
         self.display_size = display_size
         self.mesh = mesh
         if mesh is not None:
-            from functools import partial
-
             from ..parallel.dist import render_step_sharded
 
-            self._sharded_step = jax.jit(
-                partial(
-                    render_step_sharded,
-                    mesh,
-                    settings=self.settings,
-                    cfg=self.cfg,
-                    variants=self.variants,
-                    max_sample=self.max_sample,
-                ),
-                static_argnames=(),
-            )
+            def _step(gb, cam, probes, accum, frame_index):
+                return render_step_sharded(
+                    mesh, gb, cam, probes, accum,
+                    self.settings, self.cfg, self.variants,
+                    frame_index, self.max_sample,
+                )
+
+            self._sharded_step = jax.jit(_step)
 
     # ----- invalidation (cs:772-823) -----
     def _check_invalidation(self, cam: Camera, scene_key=None):
