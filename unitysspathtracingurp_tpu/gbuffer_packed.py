@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -93,16 +94,17 @@ def _unpack_rgbe(word):
 
 @struct.dataclass
 class PackedGBuffers:
-    pack0: jnp.ndarray  # (H, W) u32
-    pack1: jnp.ndarray
-    pack2: jnp.ndarray
-    pack3: jnp.ndarray
+    # Interleaved (H, W, 4) u32: [pack0, pack1, pack2, pack3] per texel.
+    # One 4-wide gather fetches a full surface decode: gather cost on
+    # TPU is per-index, not per-element (measured: a (1,4) slice gather
+    # costs the same ~15 ms as a scalar gather at 1080p).
+    packs: jnp.ndarray
     depth: jnp.ndarray  # (H, W) f32 raw reversed-Z
     depth_layer1: Optional[jnp.ndarray] = None
     back_depth: Optional[jnp.ndarray] = None
     bn_pack: Optional[jnp.ndarray] = None
-    t_pack0: Optional[jnp.ndarray] = None
-    t_pack1: Optional[jnp.ndarray] = None
+    # Interleaved (H, W, 2) u32: [t_pack0, t_pack1] per texel.
+    t_packs: Optional[jnp.ndarray] = None
     motion: Optional[jnp.ndarray] = None
 
     @property
@@ -137,14 +139,14 @@ def pack_gbuffers(gb: GBuffers) -> PackedGBuffers:
     pack3 = _pack_rgbe(gb.emission)
     kw = {}
     if gb.t_surface_type is not None:
-        kw["t_pack0"] = (
+        t_pack0 = (
             _pack_unorm8(gb.t_albedo[..., 0], 0)
             | _pack_unorm8(gb.t_albedo[..., 1], 8)
             | _pack_unorm8(gb.t_albedo[..., 2], 16)
             | _pack_unorm8(gb.t_ior_raw, 24)
         )
         refract_bit = (gb.t_surface_type == SURFACE_TYPE_REFRACTION).astype(jnp.uint32)
-        kw["t_pack1"] = (
+        t_pack1 = (
             _pack_oct12(gb.t_normal)
             | (
                 jnp.clip(jnp.round(gb.t_smoothness * 127.0), 0, 127).astype(jnp.uint32)
@@ -152,20 +154,36 @@ def pack_gbuffers(gb: GBuffers) -> PackedGBuffers:
             )
             | (refract_bit << jnp.uint32(31))
         )
+        kw["t_packs"] = jnp.stack([t_pack0, t_pack1], axis=-1)
     if gb.back_normal is not None:
         has_bn = jnp.any(gb.back_normal != 0.0, axis=-1).astype(jnp.uint32)
         kw["bn_pack"] = _pack_oct12(gb.back_normal) | (has_bn << jnp.uint32(31))
     return PackedGBuffers(
-        pack0=pack0,
-        pack1=pack1,
-        pack2=pack2,
-        pack3=pack3,
+        packs=jnp.stack([pack0, pack1, pack2, pack3], axis=-1),
         depth=gb.depth,
         depth_layer1=gb.depth_layer1,
         back_depth=gb.back_depth,
         motion=gb.motion,
         **kw,
     )
+
+
+def gather_wide(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Gather full (C,)-rows of an (H, W, C) array at per-lane (iy, ix):
+    ONE per-index gather with a (1, C) slice — same cost as a scalar
+    gather on TPU (per-index pricing, measured on v5e)."""
+    h, w, c = img.shape
+    flat = img.reshape(h * w, c)
+    idx = (iy * w + ix).reshape(-1, 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    out = jax.lax.gather(
+        flat, jnp.clip(idx, 0, h * w - 1), dn, slice_sizes=(1, c),
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return out.reshape(iy.shape + (c,))
 
 
 def hit_surface_from_packed(
@@ -176,21 +194,26 @@ def hit_surface_from_packed(
     back_depth_enabled: int = 0,
     direct: bool = False,
 ) -> SurfaceData:
-    """HitSurfaceDataFromGBuffer over the packed layout: 4 gathers for
-    the opaque path (+2 transparent, +1 backface normals). Semantics are
-    identical to gbuffer.hit_surface_from_gbuffer at the reference's own
-    storage precision."""
+    """HitSurfaceDataFromGBuffer over the packed layout: ONE 4-wide
+    gather for the opaque path (+1 2-wide transparent, +1 backface
+    normals). Semantics are identical to
+    gbuffer.hit_surface_from_gbuffer at the reference's own storage
+    precision."""
     h, w = pgb.height, pgb.width
     if direct:
+        words = pgb.packs
         fetch = lambda img: img  # noqa: E731
+        fetch_wide = lambda img: img  # noqa: E731
     else:
         iy, ix = uv_to_pixel(uv, h, w)
         fetch = lambda img: gather2d(img, iy, ix)  # noqa: E731
+        fetch_wide = lambda img: gather_wide(img, iy, ix)  # noqa: E731
+        words = fetch_wide(pgb.packs)
 
-    w0 = fetch(pgb.pack0)
-    w1 = fetch(pgb.pack1)
-    w2 = fetch(pgb.pack2)
-    w3 = fetch(pgb.pack3)
+    w0 = words[..., 0]
+    w1 = words[..., 1]
+    w2 = words[..., 2]
+    w3 = words[..., 3]
 
     albedo = jnp.stack(
         [_unpack_unorm8(w0, 0), _unpack_unorm8(w0, 8), _unpack_unorm8(w0, 16)], axis=-1
@@ -217,10 +240,11 @@ def hit_surface_from_packed(
     ior = jnp.full(smoothness.shape, -1.0, dtype=jnp.float32)
     out_inside = inside_object
 
-    if variants.support_refraction and pgb.t_pack0 is not None:
+    if variants.support_refraction and pgb.t_packs is not None:
         is_t_layer = inside_object != 2.0
-        tw0 = fetch(pgb.t_pack0)
-        tw1 = fetch(pgb.t_pack1)
+        t_words = fetch_wide(pgb.t_packs)
+        tw0 = t_words[..., 0]
+        tw1 = t_words[..., 1]
         is_refractive = (tw1 >> jnp.uint32(31)) == 1
         use_t = is_t_layer & is_refractive
 

@@ -61,12 +61,13 @@ def sample_bilinear(texture, uv):
     n_ch = flat.shape[-1]
 
     def at(yy, xx):
-        # Per-channel plane gathers (row gathers of C<128 pad badly on TPU).
-        idx = yy * w + xx
-        return jnp.stack(
-            [jnp.take(flat[:, c], idx, axis=0, mode="clip") for c in range(n_ch)],
-            axis=-1,
-        )
+        if n_ch == 1:
+            return jnp.take(flat[:, 0], yy * w + xx, axis=0, mode="clip")[..., None]
+        # One wide gather per tap: per-index gather pricing on TPU
+        # (gbuffer_packed.gather_wide).
+        from ..gbuffer_packed import gather_wide
+
+        return gather_wide(texture.reshape(h, w, n_ch), yy, xx)
 
     top = at(y0, x0) * (1 - fx) + at(y0, x1) * fx
     bot = at(y1, x0) * (1 - fx) + at(y1, x1) * fx

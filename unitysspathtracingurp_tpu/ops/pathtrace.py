@@ -105,6 +105,18 @@ def ray_march(
     opaque = gb.depth
     back = gb.back_depth
 
+    # Multi-layer configs stack their depth planes so each march step
+    # fetches every layer with ONE wide gather (per-index gather pricing
+    # on TPU; see gbuffer_packed.gather_wide).
+    depth_stack = None
+    if variants.backface_textures and back is not None:
+        if variants.support_refraction:
+            depth_stack = jnp.stack([layer1, opaque, back], axis=-1)
+        else:
+            depth_stack = jnp.stack([layer1, back], axis=-1)
+    elif variants.support_refraction:
+        depth_stack = jnp.stack([layer1, opaque], axis=-1)
+
     lin = partial(linear_eye_depth, near=cam.near, far=cam.far)
 
     # Far-tier step size (ref :55): unclamped lerp toward 20 m with scene
@@ -170,12 +182,18 @@ def ray_march(
         uv = ndc[..., :2]
         raw_z = ndc[..., 2]
 
-        # --- 3-layer depth selection (ref :79-98).
-        d_layer1 = _depth_gather(layer1, uv)
+        # --- 3-layer depth selection (ref :79-98); all needed layers
+        # arrive in one wide gather.
+        if depth_stack is not None:
+            from ..gbuffer_packed import gather_wide
+
+            iy_d, ix_d = uv_to_pixel(uv, gb.height, gb.width)
+            layers = gather_wide(depth_stack, iy_d, ix_d)
         if variants.backface_textures and back is not None:
-            d_back = _depth_gather(back, uv)
             if variants.support_refraction:
-                d_opaque = _depth_gather(opaque, uv)
+                d_layer1, d_opaque, d_back = (
+                    layers[..., 0], layers[..., 1], layers[..., 2],
+                )
                 device_depth = jnp.where(
                     inside == 1.0,
                     d_back,
@@ -183,14 +201,15 @@ def ray_march(
                 )
                 device_back = jnp.where(inside == 1.0, d_opaque, d_back)
             else:
+                d_layer1, d_back = layers[..., 0], layers[..., 1]
                 device_depth = d_layer1
                 device_back = d_back
         else:
             if variants.support_refraction:
-                d_opaque = _depth_gather(opaque, uv)
+                d_layer1, d_opaque = layers[..., 0], layers[..., 1]
                 device_depth = jnp.where(inside != 0.0, d_opaque, d_layer1)
             else:
-                device_depth = d_layer1
+                device_depth = _depth_gather(layer1, uv)
             device_back = None
 
         scene_depth = lin(device_depth)
