@@ -3,9 +3,13 @@
 A ground-up JAX/XLA/Pallas rebuild of the capabilities of
 jiaozi158/UnitySSPathTracingURP (a Unity URP screen-space path tracer).
 Nothing here is a translation of the reference's HLSL/C#: the per-pixel
-multi-bounce tracer is a fused Pallas TPU kernel (with a pure-jax.numpy
-oracle), accumulation/denoising are jitted XLA ops over pytrees, and
-multi-chip scaling is expressed with jax.sharding over a device Mesh.
+multi-bounce tracer is a jitted XLA program over the pixel grid
+(ops/pathtrace.py, the parity oracle), with a TPU-tuned fast path that
+moves the hot in-block marching into Pallas kernels where measurements
+show a win (see docs/Performance.md for the measured gather cost model
+that drives this split). Accumulation/denoising are jitted XLA ops over
+pytrees, and multi-chip scaling is expressed with jax.sharding over a
+device Mesh.
 
 Conventions (documented once, used everywhere — see camera.py):
   * world space: right-handed, y up; camera looks down -Z in view space.

@@ -63,10 +63,13 @@ class PTConfig:
     small_step_size: float = 0.005  # meters (ref :48)
     medium_step_size: float = 0.1  # meters (ref :49)
 
-    # Assumed object thickness per tier (ref :52-54).
+    # Assumed object thickness per tier (ref :52-54). The small/medium
+    # values are DEAD CODE in the reference too: PathTracing.hlsl writes
+    # its per-tier `thickness` variable (:44-58) but every hit rule reads
+    # only `marchingThickness` (:111-136). Kept to document the quirk.
     marching_thickness: float = 0.4
-    marching_thickness_small: float = 0.0075
-    marching_thickness_medium: float = 0.1
+    marching_thickness_small: float = 0.0075  # dead in reference
+    marching_thickness_medium: float = 0.1  # dead in reference
 
     ray_bias: float = 1.0e-4  # self-intersection offset along normal (ref :60)
     use_disney_diffuse: bool = True  # ref :71

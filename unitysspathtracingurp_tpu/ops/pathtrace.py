@@ -11,8 +11,10 @@ for TPU execution semantics rather than SIMT:
   * the per-draw RNG counter advances uniformly at every potential draw
     site (see ops/rng.py for the documented deviation).
 
-This module is the permanent correctness oracle for the fused Pallas
-kernel (ops/pathtrace_pallas.py); parity tests compare the two.
+This module is the permanent correctness oracle: faster tracer variants
+(the block-cached / hierarchical paths in ops/pathtrace_hiz.py and the
+Pallas in-block kernels in ops/pallas_gather.py, when present) are
+parity- or quality-gated against it.
 
 Reference quirks reproduced deliberately (bit-for-bit behavior parity):
   * the lobe-selection roulette can terminate a path even when lobe
@@ -50,6 +52,7 @@ from . import brdf
 from .brdf import dot3, normalize, saturate
 from .envprobe import ProbeSet, sample_reflection_probes
 from .rng import RNG, draw, draw2, make_rng
+from ..utils.profiling import named_pass, PASS_PATH_TRACING
 
 REAL_EPS = 1.1920929e-07
 
@@ -491,6 +494,7 @@ def _apply_backface_normal_flip(surf, gb, uv, is_back_hit, variants, back_depth_
     return surf.replace(normal=normal)
 
 
+@named_pass(PASS_PATH_TRACING)
 def trace_frame(
     gb: GBuffers,
     cam: Camera,

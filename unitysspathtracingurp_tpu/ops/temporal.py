@@ -36,6 +36,7 @@ from ..gbuffer import GBuffers, SURFACE_TYPE_REFRACTION, gather2d
 from ..utils.image import luminance
 from .brdf import dot3, normalize, saturate
 from .envprobe import sample_bilinear
+from ..utils.profiling import named_pass, PASS_ACCUMULATION
 
 
 @struct.dataclass
@@ -114,6 +115,7 @@ def _clip_to_aabb(history, minimum, maximum):
     return jnp.where(max_unit > 1.0, clipped, history)
 
 
+@named_pass(PASS_ACCUMULATION)
 def temporal_reproject(
     current: jnp.ndarray,
     gb: GBuffers,
