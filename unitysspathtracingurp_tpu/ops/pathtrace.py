@@ -508,6 +508,7 @@ def trace_frame(
     back_depth_enabled: int = 0,
     row0=0,
     lane_height: Optional[int] = None,
+    march_fn=None,
 ) -> jnp.ndarray:
     """Pass 0: per-pixel multi-bounce path tracing over the G-buffer.
 
@@ -521,7 +522,13 @@ def trace_frame(
     hook for the multi-chip path (SURVEY.md §5.8: replicate the
     G-buffer, shard the work). ``row0`` may be traced (a mesh
     axis_index); ``lane_height`` must be static.
+
+    ``march_fn`` swaps the ray-march implementation (same signature as
+    ``ray_march``); the fast hierarchical tracer
+    (ops/pathtrace_hiz.trace_frame_hiz) injects its wavefront march
+    here so every other pass-0 stage is shared with the parity path.
     """
+    _march = march_fn or ray_march
     full_h, w = gb.height, gb.width
     h = full_h if lane_height is None else lane_height
     uv = pixel_uv(h, w, row0=row0, full_height=full_h)
@@ -645,7 +652,7 @@ def trace_frame(
         for _ in range(settings.maximum_depth):
             depth_quirk = linear_eye_depth(depth_quirk, cam.near, cam.far)
 
-            march = ray_march(
+            march = _march(
                 cfg,
                 settings,
                 variants,

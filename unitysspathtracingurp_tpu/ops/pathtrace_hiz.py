@@ -1,0 +1,408 @@
+"""Fast screen-space march: deterministic wavefront + hierarchical depth.
+
+This is the TPU-native re-architecture of the reference's ray march
+(PathTracing.hlsl:7-254) that breaks the per-step gather wall
+(docs/Performance.md). It exploits a structural property of the
+reference's algorithm in the no-backface-textures variant: **march
+positions are depth-independent until the first hit**. The reference's
+binary-search refinement never activates for camera-facing rays without
+backface data (the `cannotBinarySearch` rule, PathTracing.hlsl:138-163,
+reduces to "always" — see ops/pathtrace.py ray_march), and every other
+position update (tier schedule, dither, sub-pixel skip, exponential
+growth) depends only on geometry. So instead of 24 sequential
+full-price depth gathers per bounce, the fast path:
+
+  1. Builds the whole step schedule densely (no gathers): positions,
+     uv, thickness, skip/offscreen masks for all S steps at once.
+  2. Coarse-tests every step against 64x64-pixel min/max linear-depth
+     cells with a Pallas broadcast-table select (~120 G tests/s): a step
+     strictly in front of the cell's nearest texel, or further behind
+     its farthest texel than the current thickness window, provably
+     cannot satisfy the reference's hit rule — no texel fetch needed.
+  3. Resolves the few candidate steps in R rounds: fetch the 128-texel
+     depth tile (ops/depth_tiles.py) of the first unresolved candidate
+     with ONE row gather, exact-test every candidate step that lands in
+     that tile with a Pallas rowwise dynamic select, and iterate.
+
+Known, quality-gated deviations from the parity tracer (measured by
+tests/test_hiz.py against ops/pathtrace.trace_frame):
+
+  * Hit interpolation (PathTracing.hlsl:199-214) uses the *hit texel's*
+    scene depth for the previous step's depth difference (locally-flat
+    surface assumption) instead of the previous step's own texel, which
+    usually lives in an unfetched tile.
+  * Rays whose roulette direction points back toward the camera skip the
+    reference's binary-search refinement (their crossings are still
+    found at step granularity + thickness window).
+  * Candidate steps left unresolved after R rounds are treated as
+    misses; R defaults high enough that this is <<1% of lanes.
+  * MarchResult.uv is the hit texel's center, not the continuous march
+    uv (identical G-buffer decode result).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import (
+    RAW_FAR_CLIP,
+    linear_eye_depth,
+    world_to_ndc,
+)
+from ..gbuffer import uv_to_pixel
+from .depth_tiles import (
+    TILE_H,
+    TILE_W,
+    DepthTiles,
+    build_depth_tiles,
+    unpack_minmax,
+)
+from .pallas_gather import broadcast_table_select, pack_by_slot, row_gather
+from .pathtrace import REAL_EPS, MarchResult, trace_frame
+
+
+def ray_march_hiz(
+    cfg,
+    settings,
+    variants,
+    gb,
+    cam,
+    ray_pos,
+    ray_dir,
+    inside,
+    dither,
+    view_dir,
+    scene_distance,
+    alive,
+    *,
+    tiles: DepthTiles,
+    n_rounds: int = 8,
+    _debug_out: dict | None = None,
+) -> MarchResult:
+    """Wavefront rebuild of RayMarching (PathTracing.hlsl:7-254) for the
+    no-backface / no-refraction variant. Same signature as
+    pathtrace.ray_march plus the depth-tile structure."""
+    assert not variants.backface_textures, "hiz path: backface falls back to parity"
+    assert not variants.support_refraction, "hiz path: refraction falls back to parity"
+
+    h, w = ray_pos.shape[0], ray_pos.shape[1]
+    gh, gw = tiles.height, tiles.width
+    texel_x, texel_y = 1.0 / gw, 1.0 / gh
+    vp = cam.view_proj
+    lin = partial(linear_eye_depth, near=cam.near, far=cam.far)
+    s_max = settings.maximum_steps
+
+    large_step = (
+        settings.step_size
+        + (20.0 - settings.step_size) * scene_distance * 0.001
+    )
+
+    # Camera-facing rays get the reference's binary-search refinement
+    # (PathTracing.hlsl:138-163; front rays can never bracket in the
+    # no-backface variant — see pathtrace.ray_march). The search always
+    # converges to the first depth crossing, so its hiz analog is:
+    # any crossing (diff <= 0) counts as a hit at the interpolated
+    # crossing position, with no thickness lower bound.
+    is_back_ray = jnp.sum(ray_dir * view_dir, -1) > 0.0
+
+    # ---- Phase 1: dense schedule build (rebuilds the parity body minus
+    # all depth reads; valid up to each lane's first hit).
+    ndc0 = world_to_ndc(vp, ray_pos)
+    last_u, last_v = ndc0[..., 0], ndc0[..., 1]
+    step = jnp.full((h, w), cfg.small_step_size, jnp.float32)
+    th = jnp.full((h, w), cfg.marching_thickness, jnp.float32)
+    cumdist = jnp.zeros((h, w), jnp.float32)
+    last_cumdist = jnp.zeros((h, w), jnp.float32)
+    last_hit_depth = jnp.zeros((h, w), jnp.float32)
+    marching = alive
+    pos = ray_pos
+
+    prev_idx = jnp.full((h, w), -1, jnp.int32)  # last processed step index
+    ixy_l, hitd_l, th_l, cum_l, lcum_l, lhd_l, proc_l, pidx_l = (
+        [], [], [], [], [], [], [], []
+    )
+    for i in range(1, s_max + 1):
+        at_medium = i == cfg.max_small_step + 1
+        at_large = i == cfg.max_medium_step + 1
+        if at_medium:
+            step = jnp.full_like(step, cfg.medium_step_size)
+            th = jnp.full_like(th, cfg.marching_thickness)
+        if at_large:
+            step = large_step
+            th = jnp.full_like(th, cfg.marching_thickness)
+
+        adv = step + step * dither
+        pos = pos + adv[..., None] * ray_dir
+        cumdist = cumdist + adv
+        ndc = world_to_ndc(vp, pos)
+        u, v, raw_z = ndc[..., 0], ndc[..., 1], ndc[..., 2]
+
+        skip = (
+            (i <= cfg.max_medium_step)
+            & (jnp.abs(u - last_u) < texel_x)
+            & (jnp.abs(v - last_v) < texel_y)
+        )
+        in_screen = (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
+        exit_now = marching & ~skip & ~in_screen
+        proc = marching & ~skip & in_screen
+
+        iy, ix = uv_to_pixel(jnp.stack([u, v], -1), gh, gw)
+        hit_depth = lin(raw_z)
+
+        ixy_l.append(iy * gw + ix)
+        hitd_l.append(hit_depth)
+        th_l.append(th)
+        cum_l.append(cumdist)
+        lcum_l.append(last_cumdist)
+        lhd_l.append(last_hit_depth)
+        proc_l.append(proc)
+        pidx_l.append(prev_idx)
+
+        # Post-test updates for the next step (ref :239-251), assuming
+        # no hit at this step (positions past the first hit are unused).
+        step = jnp.where(proc, step + step * cfg.step_growth, step)
+        th = jnp.where(
+            proc, th + cfg.marching_thickness * cfg.thickness_growth, th
+        )
+        last_u = jnp.where(proc, u, last_u)
+        last_v = jnp.where(proc, v, last_v)
+        last_cumdist = jnp.where(proc, cumdist, last_cumdist)
+        last_hit_depth = jnp.where(proc, hit_depth, last_hit_depth)
+        prev_idx = jnp.where(proc, i - 1, prev_idx)  # 0-based step index
+        marching = marching & ~exit_now
+
+    # (S, H, W) stacking: steps on the leading axis so the packing
+    # kernel reduces over sublanes with full lane utilization.
+    ixy_s = jnp.stack(ixy_l, 0)
+    hitd_s = jnp.stack(hitd_l, 0)
+    th_s = jnp.stack(th_l, 0)
+    cum_s = jnp.stack(cum_l, 0)
+    lcum_s = jnp.stack(lcum_l, 0)
+    lhd_s = jnp.stack(lhd_l, 0)
+    proc_s = jnp.stack(proc_l, 0)
+    pidx_s = jnp.stack(pidx_l, 0)
+
+    ix_s = ixy_s % gw
+    iy_s = ixy_s // gw
+
+    # ---- Phase 2: minitile interval filter (Pallas broadcast select,
+    # no memory fetch). A processed step is a candidate only if the
+    # tile-level depth interval of its 32x16-px minitile can intersect
+    # the reference hit window [hitd - th, hitd]
+    # (PathTracing.hlsl:168-190): scene(texel) must lie in that window,
+    # and mini_min <= scene(texel) <= mini_max for every texel there.
+    tx_s = ix_s // TILE_W
+    ty_s = iy_s // TILE_H
+    tile_s = ty_s * tiles.tiles_x + tx_s
+    texel_s = (iy_s % TILE_H) * TILE_W + (ix_s % TILE_W)
+    mini_s = (ty_s // 2) * tiles.minis_x + (tx_s // 2)
+    packed = broadcast_table_select(tiles.mini_table, mini_s, tiles.n_mini_chunks)
+    mmin_s, mmax_s = unpack_minmax(packed)
+    cand_s = proc_s & (hitd_s >= mmin_s) & (
+        (hitd_s - th_s <= mmax_s) | is_back_ray[None]
+    )
+
+    # ---- Phase 3: pack the first K surviving candidates per lane
+    # (single-pass Pallas kernel). Rounds then run on per-lane scalars
+    # only — every (S, H, W) array dies here, which is what makes the
+    # resolve cheap (XLA bookkeeping on the step axis measured
+    # ~20 ms/round at 1080p).
+    K = min(16, s_max)
+    n_lanes = h * w
+    iota_s = jnp.arange(s_max, dtype=jnp.float32)
+    # scode: step index + 65 * (prev_idx + 1), exactly representable.
+    scode_s = jnp.broadcast_to(iota_s[:, None, None], th_s.shape) + 65.0 * (
+        pidx_s.astype(jnp.float32) + 1.0
+    )
+    (pk_cum, pk_th, pk_scode, pk_lcum, pk_lhd), n_cand = pack_by_slot(
+        cand_s.reshape(s_max, n_lanes),
+        [
+            cum_s.reshape(s_max, n_lanes),
+            th_s.reshape(s_max, n_lanes),
+            scode_s.reshape(s_max, n_lanes),
+            lcum_s.reshape(s_max, n_lanes),
+            lhd_s.reshape(s_max, n_lanes),
+        ],
+        K,
+    )
+    n_cand = n_cand.reshape(h, w)
+    k_iota = jnp.arange(K, dtype=jnp.int32)
+
+    if _debug_out is not None:
+        _debug_out.update(
+            cand_s=cand_s, proc_s=proc_s, hitd_s=hitd_s, mmin_s=mmin_s,
+            mmax_s=mmax_s, th_s=th_s, tile_s=tile_s, texel_s=texel_s,
+            cum_s=cum_s, ixy_s=ixy_s, n_cand=n_cand,
+        )
+
+    # ---- Phase 4: resolve rounds on scalars. Each round: extract the
+    # pointed candidate, re-derive its screen position from the march
+    # distance, fetch its 128-texel tile row (the only real memory
+    # cost), select its texel with a one-hot mask-sum (cheaper than a
+    # dynamic gather for a single texel), and exact-test the reference
+    # hit rule.
+    ptr = jnp.zeros((h, w), jnp.int32)
+    hit = jnp.zeros((h, w), bool)
+    z = jnp.zeros((h, w), jnp.float32)
+    hit_cum = z
+    hit_diff = z
+    hit_th = z
+    hit_hitd = z
+    hit_lcum = z
+    hit_lhd = z
+    hit_prev = jnp.zeros((h, w), jnp.int32)
+    hit_ixy = jnp.zeros((h, w), jnp.int32)
+    prev_diff = z
+    prev_sidx = jnp.full((h, w), -1, jnp.int32)
+    texel_oh = jnp.arange(128, dtype=jnp.int32)
+
+    chain = 3  # candidates tested per fetched tile (consecutive
+    # candidates often land in the same tile: crawling/grazing rays)
+
+    for _ in range(n_rounds):
+        active = ~hit & (ptr < n_cand)
+        chain_on = active
+        adv = jnp.zeros((h, w), jnp.int32)
+        tile0 = None
+        blocks = None
+        for j in range(chain):
+            oh_k = k_iota[:, None] == (ptr + j).reshape(1, n_lanes)
+
+            def exk(pk, oh_k=oh_k):
+                return jnp.sum(jnp.where(oh_k, pk, 0.0), 0).reshape(h, w)
+
+            cd = exk(pk_cum)
+            th_c = exk(pk_th)
+            scode = exk(pk_scode)
+            s_idx = jnp.mod(scode, 65.0).astype(jnp.int32)
+            p_idx = (scode // 65.0).astype(jnp.int32) - 1
+            hist_lcum = exk(pk_lcum)
+            hist_lhd = exk(pk_lhd)
+
+            valid = chain_on & (ptr + j < n_cand)
+            pos = ray_pos + cd[..., None] * ray_dir
+            ndc = world_to_ndc(vp, pos)
+            hitd = lin(ndc[..., 2])
+            iy, ix = uv_to_pixel(ndc[..., :2], gh, gw)
+            tile = (iy // TILE_H) * tiles.tiles_x + (ix // TILE_W)
+            texel = (iy % TILE_H) * TILE_W + (ix % TILE_W)
+            if j == 0:
+                tile0 = tile
+                blocks = row_gather(
+                    tiles.tile_table, jnp.where(valid, tile, 0).reshape(-1)
+                ).reshape(h, w, 128)
+            else:
+                # Later chain links resolve only from the already
+                # fetched tile; a tile change ends the chain (the next
+                # round fetches it).
+                valid = valid & (tile == tile0)
+            d_raw = jnp.sum(
+                jnp.where(texel[..., None] == texel_oh, blocks, 0.0), -1
+            )
+            scene = lin(d_raw)
+            is_sky = d_raw == RAW_FAR_CLIP
+            d = scene - hitd
+            # Back-ray crossings emulate the reference's binary search
+            # (PathTracing.hlsl:138-163): a crossing |d| beyond the
+            # window needs ~log2(|d|/th) halvings, each costing one
+            # loop step.
+            halvings = jnp.ceil(
+                jnp.log2(jnp.maximum(-d / jnp.maximum(th_c, 1e-6), 1.0))
+            )
+            budget_ok = (
+                (s_idx + 1).astype(jnp.float32) + halvings <= float(s_max)
+            )
+            in_window = (d >= -th_c) | (is_back_ray & budget_ok)
+            hit_now = valid & (d <= 0.0) & in_window & ~is_sky
+
+            hit_cum = jnp.where(hit_now, cd, hit_cum)
+            hit_diff = jnp.where(hit_now, d, hit_diff)
+            hit_th = jnp.where(hit_now, th_c, hit_th)
+            hit_hitd = jnp.where(hit_now, hitd, hit_hitd)
+            hit_lcum = jnp.where(hit_now, hist_lcum, hit_lcum)
+            hit_lhd = jnp.where(hit_now, hist_lhd, hit_lhd)
+            hit_prev = jnp.where(hit_now, p_idx, hit_prev)
+            hit_ixy = jnp.where(hit_now, iy * gw + ix, hit_ixy)
+            fail = valid & ~hit_now
+            prev_diff = jnp.where(fail, d, prev_diff)
+            prev_sidx = jnp.where(fail, s_idx, prev_sidx)
+            adv = jnp.where(fail, adv + 1, adv)
+            hit = hit | hit_now
+            chain_on = fail
+        # Pointer advances past every tested-and-failed candidate.
+        ptr = ptr + adv
+
+    # ---- Finalize (all per-lane scalars). Hit interpolation
+    # (ref :199-214): the previous processed step's depth difference is
+    # exact when that step happened to be the previously tested
+    # candidate; otherwise the hit texel's scene depth stands in for
+    # the previous texel's (locally-flat-surface approximation).
+    scene_at_hit = hit_diff + hit_hitd
+    prev_exact = prev_sidx == hit_prev
+    last_diff = jnp.where(
+        prev_exact & (hit_prev >= 0), prev_diff, scene_at_hit - hit_lhd
+    )
+    sgn = jnp.where(hit_diff >= 0.0, 1.0, -1.0)
+    lsgn = jnp.where(last_diff >= 0.0, 1.0, -1.0)
+    use_lerp = sgn != lsgn
+    denom = last_diff - hit_diff
+    denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    t = last_diff / denom
+    lerp_cum = hit_lcum + (hit_cum - hit_lcum) * t
+    final_cum = jnp.where(use_lerp, lerp_cum, hit_cum)
+    hit_pos = ray_pos + final_cum[..., None] * ray_dir
+
+    hit_uv = jnp.stack(
+        [
+            ((hit_ixy % gw).astype(jnp.float32) + 0.5) / gw,
+            ((hit_ixy // gw).astype(jnp.float32) + 0.5) / gh,
+        ],
+        -1,
+    )
+    # Back-ray crossing hits beyond the thickness window: the reference's
+    # binary search would have converged near the crossing point, so the
+    # surface is decoded there rather than at the overshot step texel.
+    crossed_out = is_back_ray & (hit_diff < -hit_th)
+    cross_uv = world_to_ndc(vp, hit_pos)[..., :2]
+    hit_uv = jnp.where(crossed_out[..., None], cross_uv, hit_uv)
+    return MarchResult(
+        hit=hit,
+        position=jnp.where(hit[..., None], hit_pos, 0.0),
+        distance=jnp.where(hit, hit_cum, REAL_EPS),
+        uv=jnp.where(hit[..., None], hit_uv, 0.0),
+        is_back_hit=jnp.zeros_like(hit),
+    )
+
+
+def trace_frame_hiz(
+    gb,
+    cam,
+    probes,
+    settings,
+    cfg,
+    variants,
+    frame_index,
+    history_sample=None,
+    rng_tables=None,
+    back_depth_enabled: int = 0,
+    n_rounds: int = 8,
+):
+    """Pass 0 with the fast hierarchical march (drop-in for
+    pathtrace.trace_frame on the no-backface/no-refraction variants;
+    other variants fall back to the parity march)."""
+    if variants.backface_textures or variants.support_refraction:
+        return trace_frame(
+            gb, cam, probes, settings, cfg, variants, frame_index,
+            history_sample=history_sample, rng_tables=rng_tables,
+            back_depth_enabled=back_depth_enabled,
+        )
+    tiles = build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
+    march_fn = partial(ray_march_hiz, tiles=tiles, n_rounds=n_rounds)
+    return trace_frame(
+        gb, cam, probes, settings, cfg, variants, frame_index,
+        history_sample=history_sample, rng_tables=rng_tables,
+        back_depth_enabled=back_depth_enabled, march_fn=march_fn,
+    )
