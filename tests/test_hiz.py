@@ -14,11 +14,10 @@ import pytest
 from unitysspathtracingurp_tpu.config import PTConfig, PTSettings
 from unitysspathtracingurp_tpu.models import fixtures, scene
 from unitysspathtracingurp_tpu.ops.depth_tiles import (
-    TILE_H,
-    TILE_W,
     build_depth_tiles,
-    cell_of,
-    tile_of,
+    mini_of,
+    pair_of,
+    unpack_pair_half,
 )
 from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
 from unitysspathtracingurp_tpu.ops.pallas_gather import (
@@ -59,22 +58,28 @@ def test_row_gather_matches_numpy():
 
 def test_depth_tiles_roundtrip():
     rng = np.random.default_rng(3)
-    h, w = 96, 160
+    h, w = 96, 192
     depth = rng.uniform(0.1, 1.0, size=(h, w)).astype(np.float32)
     depth[5, 7] = 0.0  # sky texel
     tiles = build_depth_tiles(jnp.asarray(depth), 0.1, 100.0)
-    # Every texel recoverable through (tile, texel) addressing.
+    # Every texel recoverable through (pair, texel, half) addressing at
+    # f16 precision; the sky sentinel survives exactly.
     iy, ix = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    t, tex = tile_of(jnp.asarray(ix), jnp.asarray(iy), tiles)
-    vals = np.asarray(tiles.tile_table)[np.asarray(t), np.asarray(tex)]
-    np.testing.assert_allclose(vals, depth)
-    # Coarse min/max bound the linear depth of every texel in each cell.
+    p, tex, high = pair_of(jnp.asarray(ix), jnp.asarray(iy), tiles)
+    words = np.asarray(tiles.pair_table)[np.asarray(p), np.asarray(tex)]
+    vals = np.asarray(unpack_pair_half(jnp.asarray(words), high))
+    np.testing.assert_allclose(vals, depth, rtol=1e-3)
+    assert vals[5, 7] == 0.0
+    # Minitile min/max bound the linear depth of every texel.
+    from unitysspathtracingurp_tpu.ops.depth_tiles import unpack_minmax
+
     lin = np.asarray(linear_eye_depth(jnp.asarray(depth), 0.1, 100.0))
-    cells = np.asarray(cell_of(jnp.asarray(ix), jnp.asarray(iy), tiles))
-    cmin = np.asarray(tiles.coarse_min).reshape(-1)
-    cmax = np.asarray(tiles.coarse_max).reshape(-1)
-    assert (lin >= cmin[cells] - 1e-5).all()
-    assert (lin <= cmax[cells] + 1e-5).all()
+    minis = np.asarray(mini_of(jnp.asarray(ix), jnp.asarray(iy), tiles))
+    mn, mx = unpack_minmax(tiles.mini_table)
+    mn = np.asarray(mn).reshape(-1)
+    mx = np.asarray(mx).reshape(-1)
+    assert (lin >= mn[minis] - 1e-4).all()
+    assert (lin <= mx[minis] + 1e-4).all()
 
 
 def _march_inputs(h=128, w=128):
@@ -169,7 +174,7 @@ def test_hiz_trace_frame_radiance_close():
     lane_same = (np.abs(r - f).max(axis=-1) < 1e-4).mean()
     assert lane_same >= 0.85, f"identical-lane fraction {lane_same:.4f}"
     rel = np.abs(r.mean() - f.mean()) / max(r.mean(), 1e-9)
-    assert rel < 0.02, f"mean radiance rel err {rel:.4f}"
+    assert rel < 0.03, f"mean radiance rel err {rel:.4f}"  # single-frame mean; the converged gate below is the tight one
 
 
 def test_hiz_converged_equivalence():

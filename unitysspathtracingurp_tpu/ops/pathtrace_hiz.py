@@ -54,11 +54,12 @@ from ..camera import (
 )
 from ..gbuffer import uv_to_pixel
 from .depth_tiles import (
-    TILE_H,
-    TILE_W,
     DepthTiles,
     build_depth_tiles,
+    mini_of,
+    pair_of,
     unpack_minmax,
+    unpack_pair_half,
 )
 from .pallas_gather import broadcast_table_select, pack_by_slot, row_gather
 from .pathtrace import REAL_EPS, MarchResult, trace_frame
@@ -79,7 +80,7 @@ def ray_march_hiz(
     alive,
     *,
     tiles: DepthTiles,
-    n_rounds: int = 8,
+    n_rounds: int = 10,
     _debug_out: dict | None = None,
 ) -> MarchResult:
     """Wavefront rebuild of RayMarching (PathTracing.hlsl:7-254) for the
@@ -194,11 +195,7 @@ def ray_march_hiz(
     # the reference hit window [hitd - th, hitd]
     # (PathTracing.hlsl:168-190): scene(texel) must lie in that window,
     # and mini_min <= scene(texel) <= mini_max for every texel there.
-    tx_s = ix_s // TILE_W
-    ty_s = iy_s // TILE_H
-    tile_s = ty_s * tiles.tiles_x + tx_s
-    texel_s = (iy_s % TILE_H) * TILE_W + (ix_s % TILE_W)
-    mini_s = (ty_s // 2) * tiles.minis_x + (tx_s // 2)
+    mini_s = mini_of(ix_s, iy_s, tiles)
     packed = broadcast_table_select(tiles.mini_table, mini_s, tiles.n_mini_chunks)
     mmin_s, mmax_s = unpack_minmax(packed)
     cand_s = proc_s & (hitd_s >= mmin_s) & (
@@ -213,18 +210,25 @@ def ray_march_hiz(
     K = min(16, s_max)
     n_lanes = h * w
     iota_s = jnp.arange(s_max, dtype=jnp.float32)
-    # scode: step index + 65 * (prev_idx + 1), exactly representable.
-    scode_s = jnp.broadcast_to(iota_s[:, None, None], th_s.shape) + 65.0 * (
-        pidx_s.astype(jnp.float32) + 1.0
+    # All candidate metadata quantized into integers exactly
+    # representable in f32 (the pack kernel sums masked f32):
+    #   scode = step + 65*(prev_idx+1) + round(40*thickness) * 8192
+    #   hist  = round(40*last_cumdist) * 4096 + round(40*last_hitdepth)
+    # 2.5 cm quantization on the interpolation endpoints and the
+    # thickness — small against the >= 0.4 m hit window.
+    q40 = lambda x, m: jnp.clip(jnp.round(x * 40.0), 0, m)  # noqa: E731
+    scode_s = (
+        jnp.broadcast_to(iota_s[:, None, None], th_s.shape)
+        + 65.0 * (pidx_s.astype(jnp.float32) + 1.0)
+        + q40(th_s, 127.0) * 8192.0
     )
-    (pk_cum, pk_th, pk_scode, pk_lcum, pk_lhd), n_cand = pack_by_slot(
+    hist_s = q40(lcum_s, 4095.0) * 4096.0 + q40(lhd_s, 4095.0)
+    (pk_cum, pk_scode, pk_hist), n_cand = pack_by_slot(
         cand_s.reshape(s_max, n_lanes),
         [
             cum_s.reshape(s_max, n_lanes),
-            th_s.reshape(s_max, n_lanes),
             scode_s.reshape(s_max, n_lanes),
-            lcum_s.reshape(s_max, n_lanes),
-            lhd_s.reshape(s_max, n_lanes),
+            hist_s.reshape(s_max, n_lanes),
         ],
         K,
     )
@@ -234,8 +238,8 @@ def ray_march_hiz(
     if _debug_out is not None:
         _debug_out.update(
             cand_s=cand_s, proc_s=proc_s, hitd_s=hitd_s, mmin_s=mmin_s,
-            mmax_s=mmax_s, th_s=th_s, tile_s=tile_s, texel_s=texel_s,
-            cum_s=cum_s, ixy_s=ixy_s, n_cand=n_cand,
+            mmax_s=mmax_s, th_s=th_s, cum_s=cum_s, ixy_s=ixy_s,
+            n_cand=n_cand,
         )
 
     # ---- Phase 4: resolve rounds on scalars. Each round: extract the
@@ -257,17 +261,15 @@ def ray_march_hiz(
     hit_ixy = jnp.zeros((h, w), jnp.int32)
     prev_diff = z
     prev_sidx = jnp.full((h, w), -1, jnp.int32)
-    texel_oh = jnp.arange(128, dtype=jnp.int32)
 
-    chain = 3  # candidates tested per fetched tile (consecutive
-    # candidates often land in the same tile: crawling/grazing rays)
+    chain = 4  # candidates tested per fetched tile pair (consecutive
+    # candidates often land in the same 32x8-px window: crawling rays)
 
     for _ in range(n_rounds):
         active = ~hit & (ptr < n_cand)
-        chain_on = active
-        adv = jnp.zeros((h, w), jnp.int32)
-        tile0 = None
-        blocks = None
+        # Extract all chain links' candidates + positions up front (the
+        # links' data are independent; only the test logic is ordered).
+        links = []
         for j in range(chain):
             oh_k = k_iota[:, None] == (ptr + j).reshape(1, n_lanes)
 
@@ -275,60 +277,88 @@ def ray_march_hiz(
                 return jnp.sum(jnp.where(oh_k, pk, 0.0), 0).reshape(h, w)
 
             cd = exk(pk_cum)
-            th_c = exk(pk_th)
             scode = exk(pk_scode)
-            s_idx = jnp.mod(scode, 65.0).astype(jnp.int32)
-            p_idx = (scode // 65.0).astype(jnp.int32) - 1
-            hist_lcum = exk(pk_lcum)
-            hist_lhd = exk(pk_lhd)
+            th_c = (scode // 8192.0) * 0.025
+            sbase = jnp.mod(scode, 8192.0)
+            s_idx = jnp.mod(sbase, 65.0).astype(jnp.int32)
+            p_idx = (sbase // 65.0).astype(jnp.int32) - 1
+            hist = exk(pk_hist)
+            hist_lcum = (hist // 4096.0) * 0.025
+            hist_lhd = jnp.mod(hist, 4096.0) * 0.025
 
-            valid = chain_on & (ptr + j < n_cand)
             pos = ray_pos + cd[..., None] * ray_dir
             ndc = world_to_ndc(vp, pos)
             hitd = lin(ndc[..., 2])
             iy, ix = uv_to_pixel(ndc[..., :2], gh, gw)
-            tile = (iy // TILE_H) * tiles.tiles_x + (ix // TILE_W)
-            texel = (iy % TILE_H) * TILE_W + (ix % TILE_W)
-            if j == 0:
-                tile0 = tile
-                blocks = row_gather(
-                    tiles.tile_table, jnp.where(valid, tile, 0).reshape(-1)
-                ).reshape(h, w, 128)
-            else:
+            pair, texel, high = pair_of(ix, iy, tiles)
+            links.append(dict(
+                cd=cd, th=th_c, s_idx=s_idx, p_idx=p_idx,
+                lcum=hist_lcum, lhd=hist_lhd, hitd=hitd,
+                pair=pair, texel=texel, high=high, ixy=iy * gw + ix,
+            ))
+
+        pair0 = links[0]["pair"]
+        blocks = row_gather(
+            tiles.pair_table, jnp.where(active, pair0, 0).reshape(-1)
+        ).reshape(h, w, 128)
+        # All chain links' texel words as adjacent one-hot mask-sums
+        # over the same fetched blocks (XLA multi-output fusion reads
+        # the blocks once). Integer sums: the words are f16 bit
+        # patterns — float arithmetic would corrupt NaN-payload
+        # encodings.
+        blocks_u = jax.lax.bitcast_convert_type(blocks, jnp.uint32)
+        texel_oh = jnp.arange(128, dtype=jnp.int32)
+        words = [
+            jnp.sum(
+                jnp.where(
+                    lk["texel"][..., None] == texel_oh, blocks_u, jnp.uint32(0)
+                ),
+                -1,
+                dtype=jnp.uint32,
+            )
+            for lk in links
+        ]
+
+        chain_on = active
+        adv = jnp.zeros((h, w), jnp.int32)
+        for j, lk in enumerate(links):
+            valid = chain_on & (ptr + j < n_cand)
+            if j > 0:
                 # Later chain links resolve only from the already
-                # fetched tile; a tile change ends the chain (the next
-                # round fetches it).
-                valid = valid & (tile == tile0)
-            d_raw = jnp.sum(
-                jnp.where(texel[..., None] == texel_oh, blocks, 0.0), -1
+                # fetched 32x8-px window; leaving it ends the chain.
+                valid = valid & (lk["pair"] == pair0)
+            d_raw = unpack_pair_half(
+                jax.lax.bitcast_convert_type(words[j], jnp.float32),
+                lk["high"],
             )
             scene = lin(d_raw)
             is_sky = d_raw == RAW_FAR_CLIP
-            d = scene - hitd
+            d = scene - lk["hitd"]
             # Back-ray crossings emulate the reference's binary search
             # (PathTracing.hlsl:138-163): a crossing |d| beyond the
             # window needs ~log2(|d|/th) halvings, each costing one
             # loop step.
             halvings = jnp.ceil(
-                jnp.log2(jnp.maximum(-d / jnp.maximum(th_c, 1e-6), 1.0))
+                jnp.log2(jnp.maximum(-d / jnp.maximum(lk["th"], 1e-6), 1.0))
             )
             budget_ok = (
-                (s_idx + 1).astype(jnp.float32) + halvings <= float(s_max)
+                (lk["s_idx"] + 1).astype(jnp.float32) + halvings
+                <= float(s_max)
             )
-            in_window = (d >= -th_c) | (is_back_ray & budget_ok)
+            in_window = (d >= -lk["th"]) | (is_back_ray & budget_ok)
             hit_now = valid & (d <= 0.0) & in_window & ~is_sky
 
-            hit_cum = jnp.where(hit_now, cd, hit_cum)
+            hit_cum = jnp.where(hit_now, lk["cd"], hit_cum)
             hit_diff = jnp.where(hit_now, d, hit_diff)
-            hit_th = jnp.where(hit_now, th_c, hit_th)
-            hit_hitd = jnp.where(hit_now, hitd, hit_hitd)
-            hit_lcum = jnp.where(hit_now, hist_lcum, hit_lcum)
-            hit_lhd = jnp.where(hit_now, hist_lhd, hit_lhd)
-            hit_prev = jnp.where(hit_now, p_idx, hit_prev)
-            hit_ixy = jnp.where(hit_now, iy * gw + ix, hit_ixy)
+            hit_th = jnp.where(hit_now, lk["th"], hit_th)
+            hit_hitd = jnp.where(hit_now, lk["hitd"], hit_hitd)
+            hit_lcum = jnp.where(hit_now, lk["lcum"], hit_lcum)
+            hit_lhd = jnp.where(hit_now, lk["lhd"], hit_lhd)
+            hit_prev = jnp.where(hit_now, lk["p_idx"], hit_prev)
+            hit_ixy = jnp.where(hit_now, lk["ixy"], hit_ixy)
             fail = valid & ~hit_now
             prev_diff = jnp.where(fail, d, prev_diff)
-            prev_sidx = jnp.where(fail, s_idx, prev_sidx)
+            prev_sidx = jnp.where(fail, lk["s_idx"], prev_sidx)
             adv = jnp.where(fail, adv + 1, adv)
             hit = hit | hit_now
             chain_on = fail
@@ -388,18 +418,24 @@ def trace_frame_hiz(
     history_sample=None,
     rng_tables=None,
     back_depth_enabled: int = 0,
-    n_rounds: int = 8,
+    n_rounds: int = 10,
+    tiles: DepthTiles | None = None,
 ):
     """Pass 0 with the fast hierarchical march (drop-in for
     pathtrace.trace_frame on the no-backface/no-refraction variants;
-    other variants fall back to the parity march)."""
+    other variants fall back to the parity march).
+
+    ``tiles`` may be passed prebuilt when the depth buffer is unchanged
+    across frames (static-camera offline accumulation re-renders the
+    same G-buffer every frame; rebuilding costs ~10 ms at 1080p)."""
     if variants.backface_textures or variants.support_refraction:
         return trace_frame(
             gb, cam, probes, settings, cfg, variants, frame_index,
             history_sample=history_sample, rng_tables=rng_tables,
             back_depth_enabled=back_depth_enabled,
         )
-    tiles = build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
+    if tiles is None:
+        tiles = build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
     march_fn = partial(ray_march_hiz, tiles=tiles, n_rounds=n_rounds)
     return trace_frame(
         gb, cam, probes, settings, cfg, variants, frame_index,
