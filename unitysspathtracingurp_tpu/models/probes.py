@@ -19,7 +19,7 @@ from typing import Sequence
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.envprobe import EnvProbe, ProbeSet
+from ..ops.envprobe import EnvProbe, ProbeSet, build_probe_mips
 from .scene import Scene, intersect_scene
 
 
@@ -105,10 +105,14 @@ def bake_probe(
             box_max=jnp.zeros(3, jnp.float32),
             box_projection=jnp.asarray(0.0, jnp.float32),
         )
+    texture = jnp.asarray(tex)
     return EnvProbe(
-        texture=jnp.asarray(tex),
+        texture=texture,
         hdr_mult=jnp.asarray(1.0, jnp.float32),
         position=jnp.asarray(pos),
+        # Prefiltered chain: the tracer samples mip 1 on every miss
+        # (PathTracingFallback.hlsl:306-318).
+        mips=build_probe_mips(texture),
         **kw,
     )
 

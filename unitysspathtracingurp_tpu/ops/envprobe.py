@@ -77,7 +77,14 @@ def sample_bilinear(texture, uv):
 @struct.dataclass
 class EnvProbe:
     """One reflection probe (the _SpecCube0/1 uniform set the C# binder
-    pushes, PathTracingSetReflectionProbe.cs:56-83)."""
+    pushes, PathTracingSetReflectionProbe.cs:56-83).
+
+    ``mips`` is the prefiltered chain analog of Unity's PMREM cubemap
+    mips (the reference samples mip 1 on every ray miss,
+    PathTracingFallback.hlsl:306-318): mips[0] is ``texture`` itself,
+    each further level is progressively lowpassed + downsampled on the
+    oct map (build_probe_mips). None = point-sampled probe (tests,
+    constant skies)."""
 
     texture: jnp.ndarray  # (R, R, 3) oct-mapped HDR radiance
     hdr_mult: jnp.ndarray  # () DecodeHDREnvironment intensity
@@ -85,6 +92,7 @@ class EnvProbe:
     box_max: jnp.ndarray  # (3,)
     position: jnp.ndarray  # (3,) probe origin; w>0 == box projection
     box_projection: jnp.ndarray  # () 0.0 or 1.0
+    mips: tuple = ()  # prefiltered chain: level i is (R/2^i, R/2^i, 3)
 
 
 @struct.dataclass
@@ -113,6 +121,29 @@ def constant_probe(color, resolution: int = 1) -> EnvProbe:
     )
 
 
+def build_probe_mips(texture: jnp.ndarray, n_mips: int = 4) -> tuple:
+    """Prefiltered mip chain for an oct-mapped probe texture.
+
+    Each level applies a 3x3 binomial lowpass then 2x2 box-downsamples
+    — the progressive-blur approximation of Unity's GGX-prefiltered
+    cubemap chain (each mip targets a wider roughness lobe). Dense ops
+    only; run once at probe bake time (models/probes.py)."""
+    mips = [texture]
+    t = texture
+    for _ in range(n_mips - 1):
+        if t.shape[0] < 2 or t.shape[1] < 2:
+            break
+        # 3x3 binomial blur with edge clamp (separable).
+        p = jnp.pad(t, ((1, 1), (0, 0), (0, 0)), mode="edge")
+        t = (p[:-2] + 2.0 * p[1:-1] + p[2:]) * 0.25
+        p = jnp.pad(t, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        t = (p[:, :-2] + 2.0 * p[:, 1:-1] + p[:, 2:]) * 0.25
+        h, w = t.shape[0] // 2 * 2, t.shape[1] // 2 * 2
+        t = t[:h, :w].reshape(h // 2, 2, w // 2, 2, -1).mean(axis=(1, 3))
+        mips.append(t)
+    return tuple(mips)
+
+
 def box_projected_direction(direction, position_ws, probe: EnvProbe):
     """Parallax-corrected lookup direction for a box-projected probe
     (PathTracingFallback.hlsl:271-276): intersect the ray with the probe
@@ -126,28 +157,40 @@ def box_projected_direction(direction, position_ws, probe: EnvProbe):
     return direction * scalar + (position_ws - probe.position)
 
 
-def sample_probe(probe: EnvProbe, direction, position_ws):
+def _mip_texture(probe: EnvProbe, level: int):
+    if not probe.mips:
+        return probe.texture
+    return probe.mips[min(level, len(probe.mips) - 1)]
+
+
+def sample_probe(probe: EnvProbe, direction, position_ws, mip_level: float = 0.0):
     """Sample one probe with optional box projection; dir need not be unit
-    after projection (oct_encode normalizes)."""
+    after projection (oct_encode normalizes). ``mip_level`` (static)
+    samples the prefiltered chain with trilinear level blending, as the
+    reference's SAMPLE_TEXTURECUBE_LOD does on its PMREM chain."""
     projected = box_projected_direction(direction, position_ws, probe)
     lookup = jnp.where(probe.box_projection > 0.0, projected, direction)
     uv = oct_encode(lookup)
-    return sample_bilinear(probe.texture, uv) * probe.hdr_mult
+    lo = int(mip_level)
+    frac = float(mip_level) - lo
+    color = sample_bilinear(_mip_texture(probe, lo), uv)
+    if frac > 0.0 and probe.mips:
+        hi = sample_bilinear(_mip_texture(probe, lo + 1), uv)
+        color = color * (1.0 - frac) + hi * frac
+    return color * probe.hdr_mult
 
 
 def sample_reflection_probes(probes: ProbeSet, direction, position_ws, mip_level=1.0):
-    """SampleReflectionProbes analog (PathTracingFallback.hlsl:306-318).
-
-    ``mip_level`` is accepted for parity; prefiltered mip chains are a
-    quality refinement tracked for a later round (the reference uses
-    mip 1 of the probe chain purely to reduce noise).
-    """
-    del mip_level
-    color = sample_probe(probes.probe0, direction, position_ws)
+    """SampleReflectionProbes analog (PathTracingFallback.hlsl:306-318):
+    every ray miss samples mip 1 of the prefiltered probe chain (the
+    half-constant ``1.0h`` lod argument), which is why probe baking
+    builds the chain (build_probe_mips). Probes without a chain fall
+    back to their base texture."""
+    color = sample_probe(probes.probe0, direction, position_ws, mip_level)
     if probes.probe_set is not None:
         color = jnp.where(probes.probe_set == 1.0, color, 0.0)
     if probes.probe1 is not None and probes.blend_weight is not None:
-        color2 = sample_probe(probes.probe1, direction, position_ws)
+        color2 = sample_probe(probes.probe1, direction, position_ws, mip_level)
         w = probes.blend_weight
         color = jnp.where(w > 0.0, color * (1.0 - w) + color2 * w, color)
     if probes.is_probe_camera is not None:
