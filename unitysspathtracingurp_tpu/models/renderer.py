@@ -224,12 +224,22 @@ class Renderer:
         else:
             if self.temporal_state is None:
                 self.temporal_state = TemporalState.create(self.height, self.width, cam)
-            image, self.temporal_state = _realtime_step(
-                gb, cam, self.probes, self.temporal_state,
-                self.settings, self.cfg, self.variants,
-                jnp.uint32(self.frame_index), self.back_depth_enabled,
-                self.spatial_passes, self.pixel_spread_tangent,
-            )
+            if self.mesh is not None:
+                from ..parallel.dist import realtime_step_sharded
+
+                image, self.temporal_state = realtime_step_sharded(
+                    self.mesh, gb, cam, self.probes, self.temporal_state,
+                    self.settings, self.cfg, self.variants,
+                    jnp.uint32(self.frame_index), self.pixel_spread_tangent,
+                    self.spatial_passes, self.back_depth_enabled,
+                )
+            else:
+                image, self.temporal_state = _realtime_step(
+                    gb, cam, self.probes, self.temporal_state,
+                    self.settings, self.cfg, self.variants,
+                    jnp.uint32(self.frame_index), self.back_depth_enabled,
+                    self.spatial_passes, self.pixel_spread_tangent,
+                )
 
         self.frame_index = advance_frame_index(self.frame_index)
         if self.display_size is not None:

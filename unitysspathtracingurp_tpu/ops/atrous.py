@@ -34,10 +34,16 @@ def atrous_filter(
     sample_count: jnp.ndarray,
     cfg: PTConfig,
     support_refraction: bool = False,
+    row_offset=0,
 ) -> jnp.ndarray:
     """One edge-avoiding À-Trous iteration. ``emission`` is the current
     frame's scene-color copy (_PathTracingEmissionTexture); ``sample_count``
-    is the per-pixel history length driving the blur gate."""
+    is the per-pixel history length driving the blur gate.
+
+    ``row_offset`` is the global image row of array row 0 — the
+    row-sharded pipeline (parallel/dist.realtime_step_sharded) filters
+    halo-extended bands, and the per-pixel dilation hash must see
+    global pixel coordinates to match the unsharded filter."""
     h, w = color.shape[0], color.shape[1]
     max_n = float(cfg.max_accum_frame_num)
 
@@ -53,7 +59,7 @@ def atrous_filter(
 
     # Randomized dilation radius (shader:497): hash of (pixel, 1).
     xs = jnp.arange(w, dtype=jnp.uint32)
-    ys = jnp.arange(h, dtype=jnp.uint32)
+    ys = jnp.arange(h, dtype=jnp.uint32) + jnp.asarray(row_offset).astype(jnp.uint32)
     px, py = jnp.meshgrid(xs, ys)
     rnd = hashed_random_float(px, py, jnp.uint32(1))
     intensity = jnp.floor(3.0 + (9.0 - 3.0) * rnd).astype(jnp.int32)

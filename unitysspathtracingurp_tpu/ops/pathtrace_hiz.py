@@ -14,15 +14,17 @@ full-price depth gathers per bounce, the fast path:
 
   1. Builds the whole step schedule densely (no gathers): positions,
      uv, thickness, skip/offscreen masks for all S steps at once.
-  2. Coarse-tests every step against 64x64-pixel min/max linear-depth
-     cells with a Pallas broadcast-table select (~120 G tests/s): a step
-     strictly in front of the cell's nearest texel, or further behind
-     its farthest texel than the current thickness window, provably
-     cannot satisfy the reference's hit rule — no texel fetch needed.
-  3. Resolves the few candidate steps in R rounds: fetch the 128-texel
-     depth tile (ops/depth_tiles.py) of the first unresolved candidate
-     with ONE row gather, exact-test every candidate step that lands in
-     that tile with a Pallas rowwise dynamic select, and iterate.
+  2. Filters every step against 32x16-pixel minitile depth intervals
+     with a Pallas broadcast-table select: a step whose hit window
+     [hitd - thickness, hitd] cannot intersect the minitile's
+     [min, max] linear depth provably cannot satisfy the reference's
+     hit rule — no texel fetch needed.
+  3. Packs each lane's surviving candidates into per-lane lists with a
+     single-pass Pallas kernel, then resolves them in R scalar rounds:
+     ONE row gather fetches the pointed candidate's 32x8-px f16 tile
+     pair (ops/depth_tiles.py), up to 4 consecutive co-windowed
+     candidates are exact-tested with integer one-hot selects, and
+     pointers advance past failures.
 
 Known, quality-gated deviations from the parity tracer (measured by
 tests/test_hiz.py against ops/pathtrace.trace_frame):
@@ -31,13 +33,21 @@ tests/test_hiz.py against ops/pathtrace.trace_frame):
     scene depth for the previous step's depth difference (locally-flat
     surface assumption) instead of the previous step's own texel, which
     usually lives in an unfetched tile.
-  * Rays whose roulette direction points back toward the camera skip the
-    reference's binary-search refinement (their crossings are still
-    found at step granularity + thickness window).
+  * Rays whose roulette direction points back toward the camera get the
+    reference's binary search emulated analytically: a depth crossing
+    within the remaining iteration budget (each halving costs a loop
+    step) counts as a hit at the interpolated crossing.
+  * Depth is tested from f16-packed tiles (~0.05% relative linear
+    depth, window-edge flips only).
   * Candidate steps left unresolved after R rounds are treated as
-    misses; R defaults high enough that this is <<1% of lanes.
+    misses; the R default is resolution-aware (default_rounds) and
+    measured quality-flat at 1080p.
   * MarchResult.uv is the hit texel's center, not the continuous march
     uv (identical G-buffer decode result).
+
+Measured equivalence (also see docs/Performance.md round 2): 98.7%
+hit-mask agreement on a 256² stress field; converged pooled rel RMSE
+vs the parity tracer 2.4% (256², 1 bounce) / ~5% (1080p, 2 bounces).
 """
 
 from __future__ import annotations
@@ -65,6 +75,16 @@ from .pallas_gather import broadcast_table_select, pack_by_slot, row_gather
 from .pathtrace import REAL_EPS, MarchResult, trace_frame
 
 
+def default_rounds(height: int, width: int) -> int:
+    """Resolve-round budget by resolution. The depth structures have
+    fixed pixel footprints (16x8 tiles, 32x16 minitiles), so candidate
+    counts per ray shrink as resolution grows: at 1080p the converged
+    image is measured flat from 4 rounds up (pooled rel RMSE 5.05% at
+    R=4 vs 4.96% at R=8 against the parity tracer), while 256²-class
+    images keep improving to ~10."""
+    return 5 if min(height, width) >= 720 else 10
+
+
 def ray_march_hiz(
     cfg,
     settings,
@@ -80,7 +100,7 @@ def ray_march_hiz(
     alive,
     *,
     tiles: DepthTiles,
-    n_rounds: int = 10,
+    n_rounds: int | None = None,
     _debug_out: dict | None = None,
 ) -> MarchResult:
     """Wavefront rebuild of RayMarching (PathTracing.hlsl:7-254) for the
@@ -91,6 +111,8 @@ def ray_march_hiz(
 
     h, w = ray_pos.shape[0], ray_pos.shape[1]
     gh, gw = tiles.height, tiles.width
+    if n_rounds is None:
+        n_rounds = default_rounds(gh, gw)
     texel_x, texel_y = 1.0 / gw, 1.0 / gh
     vp = cam.view_proj
     lin = partial(linear_eye_depth, near=cam.near, far=cam.far)
@@ -345,6 +367,13 @@ def ray_march_hiz(
                 (lk["s_idx"] + 1).astype(jnp.float32) + halvings
                 <= float(s_max)
             )
+            # No depth cap on crossings: capping at 2x thickness (to
+            # reject silhouette discontinuities the reference's search
+            # oscillates on) removed a +1.5% single-frame mean bias but
+            # WORSENED converged pooled RMSE at both 1 and 2 bounces
+            # (2.39->3.58% / 5.58->5.92% at 256²) by also rejecting
+            # genuine deep overshoots — the budget rule alone tracks
+            # the reference best overall.
             in_window = (d >= -lk["th"]) | (is_back_ray & budget_ok)
             hit_now = valid & (d <= 0.0) & in_window & ~is_sky
 
@@ -418,7 +447,7 @@ def trace_frame_hiz(
     history_sample=None,
     rng_tables=None,
     back_depth_enabled: int = 0,
-    n_rounds: int = 10,
+    n_rounds: int | None = None,
     tiles: DepthTiles | None = None,
 ):
     """Pass 0 with the fast hierarchical march (drop-in for
