@@ -69,6 +69,7 @@ def main():
     from unitysspathtracingurp_tpu.models import fixtures, scene
     from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
     from unitysspathtracingurp_tpu.ops.pathtrace import trace_frame
+    from unitysspathtracingurp_tpu.ops.pathtrace_hiz import trace_frame_hiz
     from unitysspathtracingurp_tpu.ops.temporal import TemporalState, temporal_reproject
     from unitysspathtracingurp_tpu.ops.upscale import easu_like_upscale
     from unitysspathtracingurp_tpu.utils.metrics import mrays_per_sec
@@ -77,6 +78,14 @@ def main():
     probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
     frames = 2 if small else 5
     results = []
+    # Kernel selection mirrors bench.py: hiz for the variants it covers,
+    # parity (xla) for refraction/backface; BENCH_KERNEL=xla forces parity.
+    force_xla = os.environ.get("BENCH_KERNEL") == "xla"
+
+    def pick_trace(variants):
+        if force_xla or variants.support_refraction or variants.backface_textures:
+            return trace_frame, "xla"
+        return trace_frame_hiz, "hiz"
 
     def run_trace(name, sc, cam_fn, h, w, settings, bde=0, post=None):
         cam = cam_fn(h, w)
@@ -85,9 +94,10 @@ def main():
             with_backface=settings.accurate_thickness != ThicknessMode.CONSTANT,
         )
         variants = settings.variants()
+        trace, kname = pick_trace(variants)
 
         def fn(fi):
-            img = trace_frame(
+            img = trace(
                 gb, cam, probes, settings, cfg, variants, fi,
                 back_depth_enabled=int(settings.accurate_thickness.value),
             )
@@ -98,7 +108,8 @@ def main():
         mrays = mrays_per_sec(h, w, settings.samples_per_pixel,
                               settings.maximum_depth, dt, sky)
         results.append({
-            "config": name, "ms_per_frame": round(dt * 1e3, 1),
+            "config": name, "kernel": kname,
+            "ms_per_frame": round(dt * 1e3, 1),
             "mrays_per_sec": round(mrays, 2),
         })
 
@@ -147,21 +158,30 @@ def main():
                                denoiser=DenoiserType.TEMPORAL, dithering=False)
         variants4 = settings4.variants()
         state4 = TemporalState.create(h4, w4, cam4)
+        trace4, kname4 = pick_trace(variants4)
+
+        def fn_trace(fi):
+            return trace4(gb4, cam4, probes, settings4, cfg, variants4, fi,
+                          history_sample=state4.history_sample)
 
         def fn4(fi):
-            img = trace_frame(gb4, cam4, probes, settings4, cfg, variants4, fi,
-                              history_sample=state4.history_sample)
+            img = fn_trace(fi)
             res = temporal_reproject(img, gb4, cam4, state4, gb4.emission, cfg,
                                      settings4.temporal_intensity, 0.001)
             return res.color
 
+        # Per-pass breakdown (SURVEY §5.1 observability): trace alone,
+        # then the full pipeline; the difference is the denoise pass.
+        dt_trace = _time_frames(fn_trace, lambda i: (jnp.uint32(33 * i % 64000),), frames)
         dt4 = _time_frames(fn4, lambda i: (jnp.uint32(33 * i % 64000),), frames)
         # Temporal mode pads every lane to the adaptive-SPP maximum
         # (RAY_COUNT_LOW_SAMPLE=4, PathTracing.hlsl:430-433) — that is
         # the work actually executed per pixel.
         effective_spp = max(cfg.ray_count_low_sample, settings4.samples_per_pixel)
-        results.append({"config": "classroom_realtime",
+        results.append({"config": "classroom_realtime", "kernel": kname4,
                         "ms_per_frame": round(dt4 * 1e3, 1),
+                        "pass_ms": {"trace": round(dt_trace * 1e3, 1),
+                                    "temporal": round((dt4 - dt_trace) * 1e3, 1)},
                         "mrays_per_sec": round(mrays_per_sec(
                             h4, w4, effective_spp, settings4.maximum_depth, dt4), 2)})
 

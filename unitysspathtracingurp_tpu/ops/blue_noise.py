@@ -31,12 +31,34 @@ TILE_DIMS = 8
 _DEFAULT_CACHE = os.path.join(os.path.dirname(__file__), "_blue_noise_tables.npz")
 
 
+_TABLE_VERSION = 2  # v2: true 2D Sobol pair per consecutive dims
+
+
 def _reverse_bits8(i: np.ndarray) -> np.ndarray:
     i = i.astype(np.uint32)
     out = np.zeros_like(i)
     for b in range(8):
         out |= ((i >> b) & 1) << (7 - b)
     return out
+
+
+def _sobol2_8bit(i: np.ndarray) -> np.ndarray:
+    """Second Sobol dimension (primitive polynomial x^2 + x + 1), 8-bit.
+
+    Paired with the radical inverse (first dimension) this forms a
+    (0, 2)-net in base 2 — genuinely 2D-stratified points. (Using the
+    SAME van-der-Corput sequence for every dimension, as v1 of these
+    tables did, collapses 2D draws onto 1-D curves and biased the
+    render by ~10%.)"""
+    # Standard dimension-2 direction numbers (the Pascal/Sierpinski
+    # matrix): m_j = 1, 3, 5, 15, 17, 51, 85, 255.
+    m = [1, 3, 5, 15, 17, 51, 85, 255]
+    v = np.array([mm << (8 - j - 1) for j, mm in enumerate(m)], np.uint32) & 0xFF
+    i = i.astype(np.uint32)
+    out = np.zeros_like(i)
+    for b in range(8):
+        out ^= np.where((i >> b) & 1, v[b], 0).astype(np.uint32)
+    return out & np.uint32(0xFF)
 
 
 def _owen_scramble8(value: np.ndarray, seed: np.ndarray) -> np.ndarray:
@@ -113,16 +135,22 @@ def generate_tables(seed: int = 0, cache_path: str | None = _DEFAULT_CACHE):
     index math expects (cell = (x + y*128)*8 + (dim & 7))."""
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path)
-        return {k: data[k] for k in ("sobol", "ranking", "scrambling")}
+        if "version" in data and int(data["version"]) == _TABLE_VERSION:
+            return {k: data[k] for k in ("sobol", "ranking", "scrambling")}
 
-    # Sequence table: sample index -> radical inverse, Owen-scrambled per
-    # dimension. Layout [sample, dim] (rng.py indexes sample*256 + dim).
+    # Sequence table: layout [sample, dim] (rng.py indexes
+    # sample*256 + dim). Consecutive dimensions alternate the two Sobol
+    # dimensions (radical inverse / x^2+x+1) so every draw2 pair —
+    # GGX/cosine 2D sampling uses dims (d, d+1) — is a (0,2)-net, then
+    # each dimension is independently Owen-scrambled.
     i = np.arange(SEQ_SAMPLES, dtype=np.uint32)
-    base = _reverse_bits8(i)  # (256,)
+    base0 = _reverse_bits8(i)  # (256,)
+    base1 = _sobol2_8bit(i)
     dims = np.arange(SEQ_DIMS, dtype=np.uint32)
     dim_seed = (dims * np.uint32(0x9E3779B1)) ^ np.uint32(0xA511E9B3)
+    base = np.where((dims[None, :] & 1) == 0, base0[:, None], base1[:, None])
     sobol = _owen_scramble8(
-        np.broadcast_to(base[:, None], (SEQ_SAMPLES, SEQ_DIMS)),
+        base,
         np.broadcast_to(dim_seed[None, :], (SEQ_SAMPLES, SEQ_DIMS)),
     ).astype(np.uint32)
 
@@ -141,7 +169,7 @@ def generate_tables(seed: int = 0, cache_path: str | None = _DEFAULT_CACHE):
 
     tables = {"sobol": sobol, "ranking": ranking, "scrambling": scrambling}
     if cache_path:
-        np.savez_compressed(cache_path, **tables)
+        np.savez_compressed(cache_path, version=_TABLE_VERSION, **tables)
     return tables
 
 

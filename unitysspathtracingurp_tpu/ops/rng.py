@@ -121,7 +121,23 @@ def _blue_noise_sample(rng: RNG) -> jnp.ndarray:
     scrambling = jnp.take(rng.scrambling, cell.astype(jnp.int32), mode="wrap")
     value = value ^ scrambling
     scramble_f = jnp.minimum(scrambling.astype(jnp.float32) / 256.0, 0.999)
-    return (scramble_f + (value & jnp.uint32(255)).astype(jnp.float32)) / 256.0
+    u = (scramble_f + (value & jnp.uint32(255)).astype(jnp.float32)) / 256.0
+
+    # Beyond-reference extension: the 256-sample sequence wraps, which
+    # plateaus long accumulations at the single-cycle QMC error (the
+    # reference itself caps offline accumulation at 512 samples and
+    # lives with it). A Cranley-Patterson rotation keyed per wrap CYCLE
+    # turns successive cycles into decorrelated estimates so
+    # accumulation keeps converging past the wrap, while frames within
+    # one cycle keep the sequence's exact stratification (epoch 0 is
+    # the unmodified reference sampler up to a constant rotation).
+    # Frame number k from the 33-stride counter: 33·9697 ≡ 1 (mod 64000).
+    k = (rng.frame_index * jnp.uint32(9697)) % jnp.uint32(64000)
+    epoch = k >> jnp.uint32(8)
+    rot = hashed_random_float(
+        rng.pix_x, rng.pix_y, epoch * jnp.uint32(9173) + rng.seed
+    )
+    return jnp.mod(u + rot, 1.0)
 
 
 def draw(rng: RNG):
