@@ -170,10 +170,19 @@ def main():
                                      settings4.temporal_intensity, 0.001)
             return res.color
 
-        # Per-pass breakdown (SURVEY §5.1 observability): trace alone,
-        # then the full pipeline; the difference is the denoise pass.
-        dt_trace = _time_frames(fn_trace, lambda i: (jnp.uint32(33 * i % 64000),), frames)
+        # Per-pass breakdown (SURVEY §5.1 observability): the full
+        # pipeline, then the (small) temporal pass alone — the tunneled
+        # backend dies on a SECOND LARGE program per process, so the
+        # trace share is derived as total - temporal.
         dt4 = _time_frames(fn4, lambda i: (jnp.uint32(33 * i % 64000),), frames)
+
+        def fn_temporal(img):
+            return temporal_reproject(img, gb4, cam4, state4, gb4.emission, cfg,
+                                      settings4.temporal_intensity, 0.001).color
+
+        img0 = jnp.zeros((h4, w4, 3), jnp.float32)
+        dt_temporal = _time_frames(fn_temporal, lambda i: (img0 + i,), frames)
+        dt_trace = dt4 - dt_temporal
         # Temporal mode pads every lane to the adaptive-SPP maximum
         # (RAY_COUNT_LOW_SAMPLE=4, PathTracing.hlsl:430-433) — that is
         # the work actually executed per pixel.
@@ -181,7 +190,7 @@ def main():
         results.append({"config": "classroom_realtime", "kernel": kname4,
                         "ms_per_frame": round(dt4 * 1e3, 1),
                         "pass_ms": {"trace": round(dt_trace * 1e3, 1),
-                                    "temporal": round((dt4 - dt_trace) * 1e3, 1)},
+                                    "temporal": round(dt_temporal * 1e3, 1)},
                         "mrays_per_sec": round(mrays_per_sec(
                             h4, w4, effective_spp, settings4.maximum_depth, dt4), 2)})
 
