@@ -82,7 +82,7 @@ def default_rounds(height: int, width: int) -> int:
     image is measured flat from 4 rounds up (pooled rel RMSE 5.05% at
     R=4 vs 4.96% at R=8 against the parity tracer), while 256²-class
     images keep improving to ~10."""
-    return 5 if min(height, width) >= 720 else 10
+    return 4 if min(height, width) >= 720 else 10
 
 
 def ray_march_hiz(
