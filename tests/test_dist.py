@@ -177,3 +177,11 @@ def test_realtime_sharded_spp_axis(inputs):
         )
     assert np.isfinite(np.asarray(img)).all()
     assert float(np.asarray(st.history_sample).max()) == 1.0
+
+
+def test_init_multihost_single_process_noop():
+    """Without any coordinator configuration, init_multihost is a no-op
+    returning 1 (the single-host path used by every test and the bench)."""
+    from unitysspathtracingurp_tpu.parallel.dist import init_multihost
+
+    assert init_multihost() == 1

@@ -21,6 +21,7 @@ SIMT only, no distributed backend). The TPU-native scaling design is:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -37,6 +38,38 @@ from ..ops.temporal import TemporalState, temporal_reproject
 # À-Trous halo: the randomized dilation radius reaches 9 texels
 # (shader:497), so 9 boundary rows cover every stencil tap.
 ATROUS_HALO = 9
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize jax.distributed for multi-host meshes (SURVEY.md §5.8:
+    same collectives code over a DCN-backed mesh across hosts).
+
+    On single-process runs (no coordinator configured anywhere) this is
+    a no-op. On TPU pods the arguments are auto-detected from the
+    environment when omitted (jax.distributed.initialize contract).
+    Returns the number of processes. Call once, before any backend use;
+    then build meshes from jax.devices() as usual — make_mesh over the
+    global device list gives each host its local shards automatically
+    under shard_map.
+    """
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and "COORDINATOR_ADDRESS" not in os.environ
+        and "JAX_COORDINATOR_ADDRESS" not in os.environ
+        and "MEGASCALE_COORDINATOR_ADDRESS" not in os.environ
+    ):
+        return 1  # single-host: nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
 
 
 def make_mesh(n_spp: int = 1, n_tile: int = 1, devices=None) -> Mesh:
