@@ -154,6 +154,16 @@ class PTSettings:
     dithering: bool = False
     dither_intensity: float = 1.0
 
+    # Material toggle "_IGNORE_FORWARD_OBJECTS — Ignore Deferred 0
+    # smoothness" (ScreenSpacePathTracing.shader:14, :53): smoothness==0
+    # pixels emit their emission only instead of being traced.
+    ignore_forward_objects: bool = False
+    # Pipeline G-buffer storage axis (_GBUFFER_NORMALS_OCT,
+    # shader:55/:169 — driven by URP's accurate-G-buffer-normals
+    # setting): set when the bound G-buffer stores oct-encoded normals
+    # (gbuffer.pack_normal_oct_quad) rather than unit vectors.
+    gbuffer_normals_oct: bool = False
+
     def validate(self) -> "PTSettings":
         def _check(name, value, lo, hi):
             if not (lo <= value <= hi):
@@ -185,6 +195,8 @@ class PTSettings:
             blue_noise=self.noise_method == NoiseMethod.BLUE_NOISE,
             support_refraction=self.support_refraction,
             backface_textures=self.accurate_thickness != ThicknessMode.CONSTANT,
+            ignore_forward_objects=self.ignore_forward_objects,
+            gbuffer_normals_oct=self.gbuffer_normals_oct,
         )
 
 

@@ -129,9 +129,17 @@ def gather2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_normal_oct_quad(normal: jnp.ndarray) -> jnp.ndarray:
-    """Unit normal -> oct-quad-encoded GBuffer2.rgb in [0, 1]: the
-    storage of URP's _GBUFFER_NORMALS_OCT variant (the standard
-    octahedral fold; two channels used, third zero)."""
+    """Unit normal -> oct-encoded GBuffer2.rgb in [0, 1].
+
+    DELIBERATE storage deviation from URP's _GBUFFER_NORMALS_OCT: URP
+    additionally spreads the two oct components across all three 8-bit
+    channels via Unpack888ToFloat2 (the reference decodes that first,
+    PathTracingUtilities.hlsl:201: Unpack888ToFloat2(rayHit.normal)).
+    Our fixtures store float arrays, so the 888<->float2 bit-spreading
+    stage buys nothing — we store the raw [0,1] oct uv in rgb[:2] with
+    rgb[2] = 0. The octahedral fold itself (the precision-relevant
+    part) matches; these helpers roundtrip each other, not raw URP
+    texture bytes."""
     from .ops.envprobe import oct_encode
 
     uv = oct_encode(normal)
@@ -139,8 +147,11 @@ def pack_normal_oct_quad(normal: jnp.ndarray) -> jnp.ndarray:
 
 
 def unpack_normal_oct_quad(rgb: jnp.ndarray) -> jnp.ndarray:
-    """Oct-quad-encoded GBuffer2.rgb -> unit normal (the
-    UnpackNormalOctQuadEncode analog, PathTracingUtilities.hlsl:201-205)."""
+    """Oct-encoded GBuffer2.rgb -> unit normal. Inverse of
+    pack_normal_oct_quad; covers the UnpackNormalOctQuadEncode stage of
+    the reference decode (PathTracingUtilities.hlsl:203-205) but NOT
+    the 888->float2 byte-spreading stage (see pack_normal_oct_quad —
+    deliberate storage deviation)."""
     from .ops.envprobe import oct_decode
 
     return oct_decode(rgb[..., :2])

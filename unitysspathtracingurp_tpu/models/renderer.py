@@ -49,16 +49,43 @@ from ..ops.rng import advance_frame_index
 from ..ops.temporal import TemporalState, temporal_reproject
 
 
+def _trace(
+    gb, cam, probes, settings, cfg, variants, frame_index,
+    back_depth_enabled, use_hiz, tiles, rng_tables, history_sample=None,
+):
+    """Pass-0 dispatch: the production kernel is the hiz wavefront
+    whenever the variant set supports it (the reference always runs its
+    one production kernel, ScreenSpacePathTracingAccumulation.cs:536-549);
+    the parity tracer covers the rest."""
+    if use_hiz:
+        from ..ops.pathtrace_hiz import trace_frame_hiz
+
+        return trace_frame_hiz(
+            gb, cam, probes, settings, cfg, variants, frame_index,
+            history_sample=history_sample, rng_tables=rng_tables,
+            back_depth_enabled=back_depth_enabled, tiles=tiles,
+        )
+    return trace_frame(
+        gb, cam, probes, settings, cfg, variants, frame_index,
+        history_sample=history_sample, rng_tables=rng_tables,
+        back_depth_enabled=back_depth_enabled,
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("settings", "cfg", "variants", "back_depth_enabled", "max_sample"),
+    static_argnames=(
+        "settings", "cfg", "variants", "back_depth_enabled", "max_sample", "use_hiz"
+    ),
 )
 def _offline_step(
-    gb, cam, probes, state, settings, cfg, variants, frame_index, back_depth_enabled, max_sample, paused
+    gb, cam, probes, state, settings, cfg, variants, frame_index,
+    back_depth_enabled, max_sample, paused, use_hiz=False, tiles=None,
+    rng_tables=None,
 ):
-    traced = trace_frame(
+    traced = _trace(
         gb, cam, probes, settings, cfg, variants, frame_index,
-        back_depth_enabled=back_depth_enabled,
+        back_depth_enabled, use_hiz, tiles, rng_tables,
     )
     new_state = offline_accumulate(state, traced, max_sample, paused)
     return traced, new_state
@@ -67,17 +94,19 @@ def _offline_step(
 @partial(
     jax.jit,
     static_argnames=(
-        "settings", "cfg", "variants", "back_depth_enabled", "spatial_passes"
+        "settings", "cfg", "variants", "back_depth_enabled", "spatial_passes",
+        "use_hiz",
     ),
 )
 def _realtime_step(
     gb, cam, probes, t_state, settings, cfg, variants, frame_index,
     back_depth_enabled, spatial_passes, pixel_spread_tangent,
+    use_hiz=False, tiles=None, rng_tables=None,
 ):
-    traced = trace_frame(
+    traced = _trace(
         gb, cam, probes, settings, cfg, variants, frame_index,
+        back_depth_enabled, use_hiz, tiles, rng_tables,
         history_sample=t_state.history_sample,
-        back_depth_enabled=back_depth_enabled,
     )
     emission = gb.emission  # the _PathTracingEmissionTexture copy (pass 6 src)
     color = traced
@@ -92,11 +121,12 @@ def _realtime_step(
         pixel_spread_angle_tangent=pixel_spread_tangent,
         support_refraction=variants.support_refraction,
     )
+    hist_dtype = t_state.history_color.dtype
     new_state = TemporalState(
-        history_color=result.color,
+        history_color=result.color.astype(hist_dtype),
         history_sample=result.sample_count,
         history_depth=gb.layer1_depth(),
-        history_emission=emission,
+        history_emission=emission.astype(hist_dtype),
         prev_inv_view_proj=cam.inv_view_proj,
         prev_view_proj=cam.view_proj,
         prev_camera_position=cam.position,
@@ -119,6 +149,7 @@ class Renderer:
         hdr_64bit: bool = True,
         display_size: Optional[tuple] = None,
         mesh=None,
+        kernel: str = "auto",
     ):
         """``display_size=(H_out, W_out)`` enables the render-scale path
         (reference: renderScale 0.7 demo / 0.5 mobile guidance,
@@ -127,7 +158,17 @@ class Renderer:
 
         ``mesh``: an ('spp', 'tile') jax Mesh (parallel.dist.make_mesh)
         — offline frames then trace sharded across chips (replicated
-        G-buffer, pmean over the sample axis, row-band tiles)."""
+        G-buffer, pmean over the sample axis, row-band tiles).
+
+        ``hdr_64bit=False`` is the reference's 11-bit-float HDR target
+        (URP-HighFidelity.asset:29-31): accumulation/history buffers
+        switch to bfloat16 and the offline budget caps at 64 samples
+        (cs:810-814).
+
+        ``kernel``: "auto" dispatches the fast hiz wavefront tracer
+        whenever the variant set supports it and the parity tracer
+        otherwise; "hiz"/"xla" force one (forcing "hiz" on an
+        unsupported variant set is an error, never a silent fallback)."""
         settings.validate()
         self.settings = settings
         self.cfg = cfg
@@ -141,6 +182,7 @@ class Renderer:
             settings.maximum_samples if hdr_64bit else
             min(settings.maximum_samples, MAX_SAMPLES_LOW_PRECISION)
         )
+        self.accum_dtype = jnp.float32 if hdr_64bit else jnp.bfloat16
         self.pixel_spread_tangent = pixel_spread_angle_tangent(fov_y, width, height)
         self.back_depth_enabled = int(settings.accurate_thickness.value)
         self.spatial_passes = (
@@ -148,7 +190,41 @@ class Renderer:
             if settings.denoiser == DenoiserType.SPATIAL_TEMPORAL
             else 0
         )
-        self.offline_state = OfflineAccumState.create(height, width)
+
+        from ..ops.pathtrace_hiz import hiz_supported
+
+        if kernel == "auto":
+            self.kernel = "hiz" if hiz_supported(self.variants) else "xla"
+        elif kernel == "hiz":
+            if not hiz_supported(self.variants):
+                raise ValueError(
+                    "kernel='hiz' does not cover the backface/refraction "
+                    "variants; use kernel='auto' (dispatches the parity "
+                    "tracer for those) or 'xla'"
+                )
+            self.kernel = "hiz"
+        elif kernel == "xla":
+            self.kernel = "xla"
+        else:
+            raise ValueError(f"unknown kernel {kernel!r} (auto|hiz|xla)")
+        # DepthTiles reuse across static-depth frames; keyed by buffer
+        # identity (a held reference, so ids can't be recycled).
+        self._tiles = None
+        self._tiles_src = None
+        self._tiles_key = None
+
+        # Blue-noise mode builds its tables once (the reference binds
+        # the three noise textures once at feature setup, cs:401-420).
+        if self.variants.blue_noise:
+            from ..ops.blue_noise import BlueNoiseTables
+
+            self.rng_tables = BlueNoiseTables()
+        else:
+            self.rng_tables = None
+
+        self.offline_state = OfflineAccumState.create(
+            height, width, dtype=self.accum_dtype
+        )
         self.temporal_state: Optional[TemporalState] = None
         self._prev_vp: Optional[np.ndarray] = None
         self._scene_key = None
@@ -157,14 +233,18 @@ class Renderer:
         if mesh is not None:
             from ..parallel.dist import render_step_sharded
 
-            def _step(gb, cam, probes, accum, frame_index):
+            def _step(gb, cam, probes, accum, frame_index, tiles, rng_tables):
                 return render_step_sharded(
                     mesh, gb, cam, probes, accum,
                     self.settings, self.cfg, self.variants,
                     frame_index, self.max_sample,
+                    use_hiz=self.kernel == "hiz", tiles=tiles,
+                    rng_tables=rng_tables,
                 )
 
-            self._sharded_step = jax.jit(_step)
+            self._sharded_step = jax.jit(
+                _step, static_argnames=()
+            )
 
     # ----- invalidation (cs:772-823) -----
     def _check_invalidation(self, cam: Camera, scene_key=None):
@@ -190,6 +270,25 @@ class Renderer:
 
         self.probes = closest_probes(probe_list, positions, np.asarray(cam.position))
 
+    def _get_tiles(self, gb: GBuffers, cam: Camera):
+        """Hierarchical depth structure for the hiz kernel, rebuilt only
+        when the depth buffer (or clip range) changes — static-camera
+        offline frames re-render the same G-buffer, so the build
+        (~10 ms at 1080p) amortizes to zero."""
+        if self.kernel != "hiz":
+            return None
+        src = gb.layer1_depth()
+        key = (src, float(cam.near), float(cam.far))
+        if self._tiles is None or self._tiles_src != key[1:] or (
+            self._tiles_key is not src
+        ):
+            from ..ops.depth_tiles import build_depth_tiles
+
+            self._tiles = jax.jit(build_depth_tiles)(src, cam.near, cam.far)
+            self._tiles_key = src  # held reference: ids can't recycle
+            self._tiles_src = key[1:]
+        return self._tiles
+
     def render_frame(self, gb: GBuffers, cam: Camera, scene_key=None):
         """Render one frame; returns the displayed image (H, W, 3)."""
         if not self.settings.state:
@@ -206,6 +305,7 @@ class Renderer:
                 traced, self.offline_state = self._sharded_step(
                     gb, cam, self.probes, self.offline_state,
                     jnp.uint32(self.frame_index),
+                    self._get_tiles(gb, cam), self.rng_tables,
                 )
                 image = traced if denoiser == DenoiserType.NONE else self.offline_state.accum
             else:
@@ -214,6 +314,9 @@ class Renderer:
                     self.settings, self.cfg, self.variants,
                     jnp.uint32(self.frame_index), self.back_depth_enabled,
                     self.max_sample, self.paused,
+                    use_hiz=self.kernel == "hiz",
+                    tiles=self._get_tiles(gb, cam),
+                    rng_tables=self.rng_tables,
                 )
                 image = traced if denoiser == DenoiserType.NONE else self.offline_state.accum
             if denoiser == DenoiserType.OFFLINE and self.settings.progress_bar:
@@ -223,7 +326,9 @@ class Renderer:
                 )
         else:
             if self.temporal_state is None:
-                self.temporal_state = TemporalState.create(self.height, self.width, cam)
+                self.temporal_state = TemporalState.create(
+                    self.height, self.width, cam, dtype=self.accum_dtype
+                )
             if self.mesh is not None:
                 from ..parallel.dist import realtime_step_sharded
 
@@ -232,6 +337,9 @@ class Renderer:
                     self.settings, self.cfg, self.variants,
                     jnp.uint32(self.frame_index), self.pixel_spread_tangent,
                     self.spatial_passes, self.back_depth_enabled,
+                    use_hiz=self.kernel == "hiz",
+                    tiles=self._get_tiles(gb, cam),
+                    rng_tables=self.rng_tables,
                 )
             else:
                 image, self.temporal_state = _realtime_step(
@@ -239,6 +347,9 @@ class Renderer:
                     self.settings, self.cfg, self.variants,
                     jnp.uint32(self.frame_index), self.back_depth_enabled,
                     self.spatial_passes, self.pixel_spread_tangent,
+                    use_hiz=self.kernel == "hiz",
+                    tiles=self._get_tiles(gb, cam),
+                    rng_tables=self.rng_tables,
                 )
 
         self.frame_index = advance_frame_index(self.frame_index)

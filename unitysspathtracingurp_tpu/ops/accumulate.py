@@ -28,9 +28,14 @@ class OfflineAccumState:
     sample: jnp.ndarray  # () int32, samples accumulated so far
 
     @classmethod
-    def create(cls, height: int, width: int) -> "OfflineAccumState":
+    def create(cls, height: int, width: int, dtype=jnp.float32) -> "OfflineAccumState":
+        """``dtype`` is the accumulation-buffer precision axis (SURVEY
+        C15): float32 models the reference's 64-bit HDR target,
+        bfloat16 the 11-bit-float one (which is why the low-precision
+        mode caps at 64 samples, cs:810-814 — blend increments below
+        the mantissa step round away as the weight 1/(n+1) shrinks)."""
         return cls(
-            accum=jnp.zeros((height, width, 3), jnp.float32),
+            accum=jnp.zeros((height, width, 3), dtype),
             sample=jnp.zeros((), jnp.int32),
         )
 
@@ -50,7 +55,10 @@ def offline_accumulate(
     alpha = 1.0 / (sample.astype(jnp.float32) + 1.0)
     alpha = jnp.where(restart, 1.0, alpha)
     alpha = jnp.where(pause, 0.0, alpha)
-    accum = state.accum + (frame - state.accum) * alpha
+    # Blend in f32, store at buffer precision — the GPU blend-unit
+    # semantics of the reference's pass 3 against its HDR target.
+    prev = state.accum.astype(jnp.float32)
+    accum = (prev + (frame - prev) * alpha).astype(state.accum.dtype)
     new_sample = jnp.where(pause, sample, sample + 1)
     return OfflineAccumState(accum=accum, sample=new_sample)
 

@@ -174,12 +174,30 @@ def generate_tables(seed: int = 0, cache_path: str | None = _DEFAULT_CACHE):
 
 
 class BlueNoiseTables:
-    """Device-array bundle consumed by ops.rng.make_rng(tables=...)."""
+    """Device-array bundle consumed by ops.rng.make_rng(tables=...).
+    Registered as a jax pytree so it can flow through jit boundaries
+    (the Renderer passes it into the jitted frame steps)."""
 
-    def __init__(self, tables=None):
+    def __init__(self, tables=None, _arrays=None):
         import jax.numpy as jnp
 
+        if _arrays is not None:
+            self.sobol, self.ranking, self.scrambling = _arrays
+            return
         t = tables or generate_tables()
         self.sobol = jnp.asarray(t["sobol"], jnp.uint32)
         self.ranking = jnp.asarray(t["ranking"], jnp.uint32)
         self.scrambling = jnp.asarray(t["scrambling"], jnp.uint32)
+
+
+def _bnt_flatten(t):
+    return (t.sobol, t.ranking, t.scrambling), None
+
+
+def _bnt_unflatten(aux, children):
+    return BlueNoiseTables(_arrays=children)
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(BlueNoiseTables, _bnt_flatten, _bnt_unflatten)

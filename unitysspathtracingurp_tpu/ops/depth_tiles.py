@@ -13,7 +13,7 @@ instead marches against this two-level structure:
     are then tested with cheap one-hot selects. f16 raw depth keeps
     ~0.05% relative linear-depth error (vs the 0.4 m thickness
     window), and the sky sentinel raw==0 is exact in f16.
-  * ``mini_table`` — per 4x2-tile (64x16 px) "minitile", the min/max
+  * ``mini_table`` — per 2x2-tile (32x16 px) "minitile", the min/max
     linear eye depth (sky linearizes to ``far``), conservatively
     rounded f16, packed one u32 per entry, stored as (chunks, 128)
     rows for the broadcast_table_select fast path. A march step whose
@@ -90,7 +90,7 @@ def build_depth_tiles(depth: jnp.ndarray, near, far) -> DepthTiles:
         pairs.reshape(ty * px_n, TILE_H * TILE_W), jnp.float32
     )
 
-    # Minitile table: min/max linear depth per 4x2-tile (64x16 px)
+    # Minitile table: min/max linear depth per 2x2-tile (32x16 px)
     # group, conservatively rounded to f16, packed one-u32-per-entry.
     lin_tiles = linear_eye_depth(tiles, near, far)  # sky (raw 0) -> far
     tmin = jnp.min(lin_tiles, axis=2) * (1.0 - 2.0**-9)

@@ -509,6 +509,7 @@ def trace_frame(
     row0=0,
     lane_height: Optional[int] = None,
     march_fn=None,
+    _debug_out: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Pass 0: per-pixel multi-bounce path tracing over the G-buffer.
 
@@ -649,7 +650,9 @@ def trace_frame(
         # LinearEyeDepth once per bounce iteration (ref :463-464).
         depth_quirk = primary_raw
 
-        for _ in range(settings.maximum_depth):
+        for _bounce in range(settings.maximum_depth):
+            if _debug_out is not None:
+                _debug_out[f"alive_in_b{_bounce}"] = alive.sum(dtype=jnp.int32)
             depth_quirk = linear_eye_depth(depth_quirk, cam.near, cam.far)
 
             march = _march(

@@ -42,6 +42,15 @@ tests/test_hiz.py against ops/pathtrace.trace_frame):
   * Candidate steps left unresolved after R rounds are treated as
     misses; the R default is resolution-aware (default_rounds) and
     measured quality-flat at 1080p.
+  * Each lane keeps at most K = min(16, s_max) minitile-filter
+    survivors; candidates past the K-th are treated as misses (the
+    per-lane true candidate count is surfaced as ``n_cand_true`` in
+    ``_debug_out`` so fidelity tests can pin the saturation rate —
+    0 lanes saturate on the BoxScene fixtures, tests/test_hiz.py).
+  * Candidate metadata is quantized at 2.5 cm; the interpolation
+    endpoints (last_cumdist / last_hitdepth) additionally saturate at
+    ~102.4 m, skewing hit interpolation (not the hit decision) for
+    marches beyond that distance.
   * MarchResult.uv is the hit texel's center, not the continuous march
     uv (identical G-buffer decode result).
 
@@ -52,6 +61,7 @@ vs the parity tracer 2.4% (256², 1 bounce) / ~5% (1080p, 2 bounces).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -109,6 +119,11 @@ def ray_march_hiz(
     assert not variants.backface_textures, "hiz path: backface falls back to parity"
     assert not variants.support_refraction, "hiz path: refraction falls back to parity"
 
+    if _debug_out is not None:
+        # Multi-bounce probes: namespace this call's stats.
+        _call = _debug_out.get("_calls", 0)
+        _debug_out["_calls"] = _call + 1
+        _pfx = f"c{_call}_"
     h, w = ray_pos.shape[0], ray_pos.shape[1]
     gh, gw = tiles.height, tiles.width
     if n_rounds is None:
@@ -237,12 +252,25 @@ def ray_march_hiz(
     #   scode = step + 65*(prev_idx+1) + round(40*thickness) * 8192
     #   hist  = round(40*last_cumdist) * 4096 + round(40*last_hitdepth)
     # 2.5 cm quantization on the interpolation endpoints and the
-    # thickness — small against the >= 0.4 m hit window.
+    # thickness — small against the >= 0.4 m hit window. The thickness
+    # clamp is derived from the worst-case growth at s_max steps
+    # (th <= base*(1 + growth*s_max), e.g. 6.8 m at 64 steps) so no
+    # validated configuration saturates it; worst-case scode stays
+    # < 2^24 (exact in f32). last_cumdist/last_hitdepth saturate at
+    # 4095/40 ≈ 102.4 m — marches beyond that get clamped interpolation
+    # ENDPOINTS only (the hit test itself is exact); documented as a
+    # quality-gated deviation in the module docstring.
     q40 = lambda x, m: jnp.clip(jnp.round(x * 40.0), 0, m)  # noqa: E731
+    th_cap = float(
+        math.ceil(
+            40.0 * cfg.marching_thickness * (1.0 + cfg.thickness_growth * s_max)
+        )
+    )
+    assert 8192.0 * (th_cap + 1.0) + 65.0 * 65.0 + 64.0 < 2.0**24
     scode_s = (
         jnp.broadcast_to(iota_s[:, None, None], th_s.shape)
         + 65.0 * (pidx_s.astype(jnp.float32) + 1.0)
-        + q40(th_s, 127.0) * 8192.0
+        + q40(th_s, th_cap) * 8192.0
     )
     hist_s = q40(lcum_s, 4095.0) * 4096.0 + q40(lhd_s, 4095.0)
     (pk_cum, pk_scode, pk_hist), n_cand = pack_by_slot(
@@ -259,10 +287,23 @@ def ray_march_hiz(
 
     if _debug_out is not None:
         _debug_out.update(
-            cand_s=cand_s, proc_s=proc_s, hitd_s=hitd_s, mmin_s=mmin_s,
-            mmax_s=mmax_s, th_s=th_s, cum_s=cum_s, ixy_s=ixy_s,
-            n_cand=n_cand,
+            {
+                _pfx + "n_cand": n_cand,
+                # Unclamped candidate count: lanes where this exceeds K
+                # had overflow candidates silently dropped (K-cap
+                # deviation).
+                _pfx + "n_cand_true": cand_s.sum(0, dtype=jnp.int32),
+            }
         )
+        if _debug_out.get("_full"):  # (S,H,W) dumps: small shapes only
+            _debug_out.update(
+                {
+                    _pfx + "cand_s": cand_s, _pfx + "proc_s": proc_s,
+                    _pfx + "hitd_s": hitd_s, _pfx + "mmin_s": mmin_s,
+                    _pfx + "mmax_s": mmax_s, _pfx + "th_s": th_s,
+                    _pfx + "cum_s": cum_s, _pfx + "ixy_s": ixy_s,
+                }
+            )
 
     # ---- Phase 4: resolve rounds on scalars. Each round: extract the
     # pointed candidate, re-derive its screen position from the march
@@ -287,8 +328,10 @@ def ray_march_hiz(
     chain = 4  # candidates tested per fetched tile pair (consecutive
     # candidates often land in the same 32x8-px window: crawling rays)
 
-    for _ in range(n_rounds):
+    for _round in range(n_rounds):
         active = ~hit & (ptr < n_cand)
+        if _debug_out is not None:
+            _debug_out[f"{_pfx}active_r{_round}"] = active.sum(dtype=jnp.int32)
         # Extract all chain links' candidates + positions up front (the
         # links' data are independent; only the test logic is ordered).
         links = []
@@ -436,6 +479,12 @@ def ray_march_hiz(
     )
 
 
+def hiz_supported(variants) -> bool:
+    """True when the wavefront march covers this variant set (the
+    backface/refraction variants fall back to the parity march)."""
+    return not (variants.backface_textures or variants.support_refraction)
+
+
 def trace_frame_hiz(
     gb,
     cam,
@@ -449,6 +498,9 @@ def trace_frame_hiz(
     back_depth_enabled: int = 0,
     n_rounds: int | None = None,
     tiles: DepthTiles | None = None,
+    row0=0,
+    lane_height=None,
+    _debug_out: dict | None = None,
 ):
     """Pass 0 with the fast hierarchical march (drop-in for
     pathtrace.trace_frame on the no-backface/no-refraction variants;
@@ -456,18 +508,26 @@ def trace_frame_hiz(
 
     ``tiles`` may be passed prebuilt when the depth buffer is unchanged
     across frames (static-camera offline accumulation re-renders the
-    same G-buffer every frame; rebuilding costs ~10 ms at 1080p)."""
-    if variants.backface_textures or variants.support_refraction:
+    same G-buffer every frame; rebuilding costs ~10 ms at 1080p).
+
+    ``row0``/``lane_height`` trace a row band against the full-frame
+    depth structures (the multi-chip tile-sharding hook, same contract
+    as pathtrace.trace_frame)."""
+    if not hiz_supported(variants):
         return trace_frame(
             gb, cam, probes, settings, cfg, variants, frame_index,
             history_sample=history_sample, rng_tables=rng_tables,
             back_depth_enabled=back_depth_enabled,
+            row0=row0, lane_height=lane_height,
         )
     if tiles is None:
         tiles = build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
-    march_fn = partial(ray_march_hiz, tiles=tiles, n_rounds=n_rounds)
+    march_fn = partial(
+        ray_march_hiz, tiles=tiles, n_rounds=n_rounds, _debug_out=_debug_out
+    )
     return trace_frame(
         gb, cam, probes, settings, cfg, variants, frame_index,
         history_sample=history_sample, rng_tables=rng_tables,
         back_depth_enabled=back_depth_enabled, march_fn=march_fn,
+        row0=row0, lane_height=lane_height, _debug_out=_debug_out,
     )

@@ -129,13 +129,19 @@ def _blue_noise_sample(rng: RNG) -> jnp.ndarray:
     # lives with it). A Cranley-Patterson rotation keyed per wrap CYCLE
     # turns successive cycles into decorrelated estimates so
     # accumulation keeps converging past the wrap, while frames within
-    # one cycle keep the sequence's exact stratification (epoch 0 is
-    # the unmodified reference sampler up to a constant rotation).
+    # one cycle keep the sequence's exact stratification. The rotation
+    # is keyed by (epoch, draw dimension) ONLY — constant across pixels
+    # — because a per-pixel rotation would whiten the blue-noise
+    # spatial error arrangement the ranking/scrambling tiles encode
+    # (tests/test_rng.py::test_blue_noise_spatial_spectrum). Epoch 0 is
+    # exactly the unmodified reference sampler (rotation 0).
     # Frame number k from the 33-stride counter: 33·9697 ≡ 1 (mod 64000).
     k = (rng.frame_index * jnp.uint32(9697)) % jnp.uint32(64000)
     epoch = k >> jnp.uint32(8)
-    rot = hashed_random_float(
-        rng.pix_x, rng.pix_y, epoch * jnp.uint32(9173) + rng.seed
+    rot = jnp.where(
+        epoch == 0,
+        0.0,
+        construct_float(jenkins_hash_u32(epoch * jnp.uint32(9173) + rng.seed)),
     )
     return jnp.mod(u + rot, 1.0)
 

@@ -53,12 +53,16 @@ class TemporalState:
     prev_camera_position: jnp.ndarray  # (3,)
 
     @classmethod
-    def create(cls, height: int, width: int, cam) -> "TemporalState":
+    def create(cls, height: int, width: int, cam, dtype=jnp.float32) -> "TemporalState":
+        """``dtype`` sets the color/emission history precision (the
+        HDR-target axis, SURVEY C15): bfloat16 halves history HBM at
+        the 11-bit-float quality point; depth/count stay f32 (RFloat/
+        RHalf in the reference, cs:739-764)."""
         return cls(
-            history_color=jnp.zeros((height, width, 3), jnp.float32),
+            history_color=jnp.zeros((height, width, 3), dtype),
             history_sample=jnp.zeros((height, width), jnp.float32),
             history_depth=jnp.zeros((height, width), jnp.float32),
-            history_emission=jnp.zeros((height, width, 3), jnp.float32),
+            history_emission=jnp.zeros((height, width, 3), dtype),
             prev_inv_view_proj=cam.inv_view_proj,
             prev_view_proj=cam.view_proj,
             prev_camera_position=cam.position,

@@ -84,6 +84,40 @@ def make_mesh(n_spp: int = 1, n_tile: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("spp", "tile"))
 
 
+def _dispatch_trace(
+    gb, cam, probes, settings, cfg, variants, seed,
+    use_hiz, tiles, rng_tables, row0, lane_height, history_sample=None,
+    back_depth_enabled=0,
+):
+    """Kernel dispatch inside a shard: the hiz wavefront whenever the
+    variant set supports it (same production-kernel rule as the
+    Renderer), marching the row band against the FULL-frame depth
+    structures (replicated, like the G-buffer)."""
+    if use_hiz:
+        from ..ops.pathtrace_hiz import trace_frame_hiz
+
+        return trace_frame_hiz(
+            gb, cam, probes, settings, cfg, variants, seed,
+            history_sample=history_sample, rng_tables=rng_tables,
+            back_depth_enabled=back_depth_enabled,
+            tiles=tiles, row0=row0, lane_height=lane_height,
+        )
+    return trace_frame(
+        gb, cam, probes, settings, cfg, variants, seed,
+        history_sample=history_sample, rng_tables=rng_tables,
+        back_depth_enabled=back_depth_enabled,
+        row0=row0, lane_height=lane_height,
+    )
+
+
+def _prep_tiles(gb, cam, use_hiz, tiles):
+    if use_hiz and tiles is None:
+        from ..ops.depth_tiles import build_depth_tiles
+
+        tiles = build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
+    return tiles
+
+
 def trace_frame_sharded(
     mesh: Mesh,
     gb,
@@ -94,6 +128,9 @@ def trace_frame_sharded(
     variants: PTVariants,
     frame_index,
     height: int,
+    use_hiz: bool = False,
+    tiles=None,
+    rng_tables=None,
 ):
     """Trace one frame over the mesh: each (spp, tile) chip traces its row
     band with its own RNG stream; results are mean-reduced over 'spp' and
@@ -106,6 +143,7 @@ def trace_frame_sharded(
     if height % n_tile:
         raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
     block_h = height // n_tile
+    tiles = _prep_tiles(gb, cam, use_hiz, tiles)
 
     # Per-spp-shard decorrelated frame seeds: stride the frame counter so
     # streams never collide (33 is the reference's per-frame stride).
@@ -117,27 +155,21 @@ def trace_frame_sharded(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("spp")),
+        in_specs=(P(), P(), P(), P("spp"), P(), P()),
         out_specs=P("tile"),
         check_vma=False,
     )
-    def _shard(gb_rep, cam_rep, probes_rep, seed_shard):
+    def _shard(gb_rep, cam_rep, probes_rep, seed_shard, tiles_rep, tables_rep):
         row0 = jax.lax.axis_index("tile") * block_h
-        img = trace_frame(
-            gb_rep,
-            cam_rep,
-            probes_rep,
-            settings,
-            cfg,
-            variants,
-            seed_shard[0],
-            row0=row0,
-            lane_height=block_h,
+        img = _dispatch_trace(
+            gb_rep, cam_rep, probes_rep, settings, cfg, variants,
+            seed_shard[0], use_hiz, tiles_rep, tables_rep,
+            row0, block_h,
         )
         # The one required collective: mean over the sample axis (ICI psum).
         return jax.lax.pmean(img, "spp")
 
-    return _shard(gb, cam, probes, seeds)
+    return _shard(gb, cam, probes, seeds, tiles, rng_tables)
 
 
 def _pad_rows_edge(tree, halo: int, full_h: int):
@@ -180,6 +212,9 @@ def realtime_step_sharded(
     pixel_spread_tangent,
     spatial_passes: int,
     back_depth_enabled: int = 0,
+    use_hiz: bool = False,
+    tiles=None,
+    rng_tables=None,
 ):
     """One real-time (temporal + À-Trous) step over the mesh
     (SURVEY.md §5.8; VERDICT r1 item 6).
@@ -208,6 +243,7 @@ def realtime_step_sharded(
         raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
     bh = height // n_tile
     halo = min(ATROUS_HALO, bh)
+    tiles = _prep_tiles(gb, cam, use_hiz, tiles)
 
     seeds = (
         jnp.asarray(frame_index, jnp.uint32)
@@ -224,19 +260,19 @@ def realtime_step_sharded(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P("spp")),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P("spp"), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     def _shard(gb_rep, gb_pad_rep, em_pad, samp_pad, probes_rep, cam_rep,
-               state_rep, seed_shard):
+               state_rep, seed_shard, tiles_rep, tables_rep):
         ti = jax.lax.axis_index("tile")
         row0 = ti * bh
-        traced = trace_frame(
+        traced = _dispatch_trace(
             gb_rep, cam_rep, probes_rep, settings, cfg, variants,
-            seed_shard[0], history_sample=state_rep.history_sample,
+            seed_shard[0], use_hiz, tiles_rep, tables_rep, row0, bh,
+            history_sample=state_rep.history_sample,
             back_depth_enabled=back_depth_enabled,
-            row0=row0, lane_height=bh,
         )
         traced = jax.lax.pmean(traced, "spp")
 
@@ -275,13 +311,15 @@ def realtime_step_sharded(
         return result.color, result.sample_count
 
     color, sample_count = _shard(
-        gb, gb_pad, emission_pad, sample_pad, probes, cam, t_state, seeds
+        gb, gb_pad, emission_pad, sample_pad, probes, cam, t_state, seeds,
+        tiles, rng_tables,
     )
+    hist_dtype = t_state.history_color.dtype
     new_state = TemporalState(
-        history_color=color,
+        history_color=color.astype(hist_dtype),
         history_sample=sample_count,
         history_depth=gb.layer1_depth(),
-        history_emission=emission,
+        history_emission=emission.astype(hist_dtype),
         prev_inv_view_proj=cam.inv_view_proj,
         prev_view_proj=cam.view_proj,
         prev_camera_position=cam.position,
@@ -300,12 +338,16 @@ def render_step_sharded(
     variants: PTVariants,
     frame_index,
     max_sample: int,
+    use_hiz: bool = False,
+    tiles=None,
+    rng_tables=None,
 ):
     """Full offline-accumulation step over the mesh — trace (sharded) +
     progressive average. The accumulation buffer stays row-sharded on
     'tile' across steps; the sample counter is replicated."""
     height = accum.accum.shape[0]
     frame = trace_frame_sharded(
-        mesh, gb, cam, probes, settings, cfg, variants, frame_index, height
+        mesh, gb, cam, probes, settings, cfg, variants, frame_index, height,
+        use_hiz=use_hiz, tiles=tiles, rng_tables=rng_tables,
     )
     return frame, offline_accumulate(accum, frame, max_sample)
