@@ -117,6 +117,22 @@ def main():
             true_max=int(nct.max()),
         )
         print(f"bounce {c} n_cand: {ledger[f'n_cand_b{c}']}")
+        lanes_with = (nc > 0).sum()
+        ledger[f"home_b{c}"] = dict(
+            cand_in_home=round(
+                int(dbg[f"c{c}_cand_in_home"]) / max(int(dbg[f"c{c}_cand_total"]), 1), 3
+            ),
+            first_in_home=round(
+                int(dbg[f"c{c}_first_in_home"]) / max(int(lanes_with), 1), 3
+            ),
+        )
+        print(f"bounce {c} home-window: {ledger[f'home_b{c}']}")
+        tot = max(int(dbg[f"c{c}_cand_total"]), 1)
+        ledger[f"spread_b{c}"] = {
+            f"within_{lim}": round(int(dbg[f"c{c}_cand_within_{lim}"]) / tot, 3)
+            for lim in (1, 2, 4, 8, 16)
+        }
+        print(f"bounce {c} cand spread: {ledger[f'spread_b{c}']}")
 
     print("\n" + json.dumps(ledger, indent=1), flush=True)
     with open("/tmp/probe_r3_stats.json", "w") as f:
@@ -124,7 +140,48 @@ def main():
 
 
 def run_timing(mode, gb, cam, probes, settings, cfg, variants, tiles, fi, ledger):
-    if mode.startswith("R"):
+    if mode == "R0dbg":
+        # R=0 alone lets XLA dead-code-eliminate phases 1-3 entirely
+        # (nothing consumes the candidates); forcing the n_cand debug
+        # output keeps schedule+filter+pack alive, so
+        # (t_R0dbg - t_R0) / bounces = per-bounce phase 1-3 cost.
+        def f(gb, cam, probes, fi):
+            dbg = {}
+            img = trace_frame_hiz(
+                gb, cam, probes, settings, cfg, variants, fi,
+                tiles=tiles, n_rounds=0, _debug_out=dbg,
+            )
+            return img.sum() + sum(
+                v.sum() for k, v in dbg.items() if k.endswith("n_cand")
+            )
+
+        dt, _ = bench("frame R=0 + pack kept", jax.jit(f), gb, cam, probes, fi)
+        ledger["frame_ms_R0dbg"] = round(dt, 2)
+    elif mode == "comp":
+        # Candidate production config: between-bounce + round compaction.
+        ccfg = PTConfig(
+            compaction_caps=(1.0, 0.5, 0.3125, 0.25), hiz_round_cap=0.5
+        )
+
+        def f(gb, cam, probes, fi):
+            return trace_frame_hiz(
+                gb, cam, probes, settings, ccfg, variants, fi, tiles=tiles
+            ).sum()
+
+        dt, _ = bench("frame R=4 compacted", jax.jit(f), gb, cam, probes, fi)
+        ledger["frame_ms_comp"] = round(dt, 2)
+    elif mode == "compb":
+        # Bounce compaction only (isolates the two levers).
+        ccfg = PTConfig(compaction_caps=(1.0, 0.5, 0.3125, 0.25))
+
+        def f(gb, cam, probes, fi):
+            return trace_frame_hiz(
+                gb, cam, probes, settings, ccfg, variants, fi, tiles=tiles
+            ).sum()
+
+        dt, _ = bench("frame R=4 bounce-compacted", jax.jit(f), gb, cam, probes, fi)
+        ledger["frame_ms_compb"] = round(dt, 2)
+    elif mode.startswith("R"):
         n_rounds = int(mode[1:])
 
         def f(gb, cam, probes, fi):

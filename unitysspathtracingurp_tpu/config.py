@@ -96,6 +96,32 @@ class PTConfig:
     # at the reference's own RGBA8/oct/HDR storage precision.
     use_packed_gbuffer: bool = True
 
+    # TPU tuning: between-bounce ray compaction. Every per-bounce cost
+    # (schedule build, minitile filter, candidate pack, resolve rounds,
+    # G-buffer decode, BRDF) is priced per lane, but the alive-lane
+    # fraction collapses across bounces (BoxScene 1080p measured:
+    # 94/36/22/15% entering bounces 0-3). caps[b] is the static lane
+    # capacity for bounce b as a fraction of the full pixel count;
+    # alive lanes are packed densely into ceil(caps[b]*N) lanes before
+    # the march. Matches the dense trace to <=2 ulp as long as the
+    # alive count fits the cap (every per-lane op is elementwise and
+    # bit-identical; only the final per-bounce contribution sums
+    # re-associate in the cascade unwind); lanes beyond the cap are
+    # dropped, counted in _debug_out["compact_drop_b{b}"], and covered
+    # by tests. None disables compaction. The last entry extends to any
+    # deeper bounce.
+    compaction_caps: tuple | None = None
+
+    # TPU tuning: hiz resolve-round compaction. Round 1 of the
+    # candidate resolve runs on every lane, but the still-unresolved
+    # fraction entering round 2 is 22-46% (BoxScene 1080p measured per
+    # bounce); rounds 2+ re-pack the unresolved lanes into this
+    # fraction of the lane count (same bit-exactness/overflow contract
+    # as compaction_caps — overflow lanes keep their round-1 state and
+    # finalize as unresolved, the already-documented R-round cutoff
+    # class). None disables.
+    hiz_round_cap: float | None = None
+
     # TPU tuning (no behavioral effect): march-loop unroll factor.
     # True = fully unroll. Gathers inside rolled XLA loops hit a ~500x
     # slower scalar path on TPU (measured on v5e); full unrolling keeps

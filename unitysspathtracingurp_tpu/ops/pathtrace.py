@@ -467,6 +467,111 @@ def evaluate_brdf(
     )
 
 
+def _fast_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum of a 1-D int32 array, decomposed into
+    lane-axis cumsums of (rows, 128) blocks. XLA's 1-D cumsum at 2M
+    elements measured 9.6 ms on v5e (and pathological compile times in
+    isolation); this two-level form measures 3.45 ms
+    (scripts/probe_compact_cost.py cumsum2)."""
+    n = x.shape[0]
+    if n <= 4096:
+        return jnp.cumsum(x)
+    pad = (-n) % 128
+    x2 = jnp.pad(x, (0, pad)).reshape(-1, 128)
+    within = jnp.cumsum(x2, axis=1)
+    row_tot = within[:, -1]
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), x.dtype), _fast_cumsum(row_tot)[:-1]]
+    )
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
+def _compact_indices(alive_flat: jnp.ndarray, cap_n: int):
+    """Dense packing map for between-bounce ray compaction
+    (PTConfig.compaction_caps).
+
+    Returns ``(src_idx, valid, n_drop, slots, keep)``: ``src_idx``
+    (cap_n,) int32 maps each compact slot to its source lane (0 for
+    unused slots), ``valid`` flags slots holding a real lane, ``n_drop``
+    counts alive lanes beyond the capacity (dropped — the documented
+    overflow deviation, zero when the cap is honest), ``slots`` (n,)
+    is the inverse map (source lane -> compact slot, valid where
+    ``keep``), and ``keep`` flags source lanes actually carried over.
+    """
+    n = alive_flat.shape[0]
+    slots = _fast_cumsum(alive_flat.astype(jnp.int32)) - 1
+    n_alive = slots[-1] + 1
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    keep = alive_flat & (slots < cap_n)
+    tgt = jnp.where(keep, slots, cap_n)
+    src_idx = jnp.zeros((cap_n + 1,), jnp.int32).at[tgt].set(lane_ids)[:cap_n]
+    valid = jnp.arange(cap_n, dtype=jnp.int32) < n_alive
+    return src_idx, valid, jnp.maximum(n_alive - cap_n, 0), slots, keep
+
+
+def _gather_lane_state(arrs, src_idx):
+    """Gather per-lane state arrays ((N,) or (N, k); f32/int/bool) into
+    the compact domain with ONE wide row gather — XLA's gather is priced
+    per *index*, so k separate gathers would cost k times as much."""
+    cols, metas = [], []
+    for a in arrs:
+        a2 = a.reshape(a.shape[0], -1)
+        metas.append((a.dtype, a.shape[1:], a2.shape[1]))
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            a2 = jax.lax.bitcast_convert_type(a2, jnp.float32)
+        elif a.dtype == jnp.bool_:
+            a2 = a2.astype(jnp.float32)
+        cols.append(a2)
+    from .pallas_gather import row_gather
+
+    g = row_gather(jnp.concatenate(cols, axis=1), src_idx)
+    out, o = [], 0
+    for dtype, tail, k in metas:
+        part = g[:, o : o + k]
+        o += k
+        if jnp.issubdtype(dtype, jnp.integer):
+            part = jax.lax.bitcast_convert_type(part, dtype)
+        elif dtype == jnp.bool_:
+            part = part > 0.5
+        out.append(part.reshape((g.shape[0],) + tail))
+    return out
+
+
+def _scatter_lane_state(full_arrs, compact_arrs, src_idx, valid):
+    """Inverse of _gather_lane_state: write compacted per-lane values
+    back over their source lanes (one wide row scatter; invalid slots
+    dropped via an out-of-bounds target). Returns updated full arrays.
+    """
+
+    def pack(arrs, n):
+        cols, metas = [], []
+        for a in arrs:
+            a2 = a.reshape(n, -1)
+            metas.append((a.dtype, a.shape[1:], a2.shape[1]))
+            if jnp.issubdtype(a.dtype, jnp.integer):
+                a2 = jax.lax.bitcast_convert_type(a2, jnp.float32)
+            elif a.dtype == jnp.bool_:
+                a2 = a2.astype(jnp.float32)
+            cols.append(a2)
+        return jnp.concatenate(cols, axis=1), metas
+
+    n_full = full_arrs[0].shape[0]
+    full_rows, metas = pack(full_arrs, n_full)
+    comp_rows, _ = pack(compact_arrs, src_idx.shape[0])
+    tgt = jnp.where(valid, src_idx, n_full)
+    merged = full_rows.at[tgt].set(comp_rows, mode="drop")
+    out, o = [], 0
+    for dtype, tail, k in metas:
+        part = merged[:, o : o + k]
+        o += k
+        if jnp.issubdtype(dtype, jnp.integer):
+            part = jax.lax.bitcast_convert_type(part, dtype)
+        elif dtype == jnp.bool_:
+            part = part > 0.5
+        out.append(part.reshape((n_full,) + tail))
+    return out
+
+
 def _apply_backface_normal_flip(surf, gb, uv, is_back_hit, variants, back_depth_enabled):
     """Back-hit normal reversal (ref PathTracing.hlsl:219-232).
     ``gb`` may be GBuffers or PackedGBuffers."""
@@ -650,9 +755,93 @@ def trace_frame(
         # LinearEyeDepth once per bounce iteration (ref :463-464).
         depth_quirk = primary_raw
 
+        # Per-lane state that may be re-domained by between-bounce
+        # compaction (PTConfig.compaction_caps). Contributions are
+        # accumulated in the CURRENT (compact) domain and unwound to the
+        # full pixel grid after the bounce loop with one row gather per
+        # compaction level — the scatter-back formulation measured
+        # 29.5 ms/bounce on v5e vs 12.7 ms TOTAL for the gather cascade
+        # (scripts/probe_compact_cost.py scatter3/cascade3).
+        n_full = h * w
+        color_flat = color_s.reshape(n_full, 3)
+        dither_b, prim_pos_b, irc_b = dither, position_ws, inv_ray_count
+        view_dir_b = view_dir
+        # Cols only gathered when they can vary per lane in this config:
+        adaptive_irc = (
+            variants.temporal_accumulation and history_sample is not None
+        )
+        color_dom = None   # contribs accumulated in the current domain
+        unwind = []        # (parent color_dom, slots, keep) per level
+
         for _bounce in range(settings.maximum_depth):
             if _debug_out is not None:
                 _debug_out[f"alive_in_b{_bounce}"] = alive.sum(dtype=jnp.int32)
+
+            caps = cfg.compaction_caps
+            if caps is not None:
+                cap = caps[min(_bounce, len(caps) - 1)]
+                cap_n = min(n_full, max(1024, -(-int(cap * n_full) // 1024) * 1024))
+                cur_n = alive.size
+                if cap_n < cur_n:
+                    idx, valid, n_drop, slots, keep = _compact_indices(
+                        alive.reshape(cur_n), cap_n
+                    )
+                    if _debug_out is not None:
+                        _debug_out[f"compact_drop_b{_bounce}"] = n_drop
+                    # Gathered state: only what is both per-lane-varying
+                    # and not derivable. view_dir is recomputed from the
+                    # gathered primary position (bit-identical: same
+                    # input bits -> same normalize result); seed is a
+                    # uniform draw counter (every draw site runs for
+                    # every lane), so a slice re-domains it exactly.
+                    cols = [
+                        ray_pos.reshape(cur_n, 3),
+                        ray_dir.reshape(cur_n, 3),
+                        energy.reshape(cur_n, 3),
+                        prim_pos_b.reshape(cur_n, 3),
+                        depth_quirk.reshape(cur_n),
+                        (rng_s.pix_y.reshape(cur_n) << jnp.uint32(13))
+                        | rng_s.pix_x.reshape(cur_n),
+                    ]
+                    if variants.support_refraction:
+                        cols.append(inside.reshape(cur_n))
+                    if settings.dithering:
+                        cols.append(dither_b.reshape(cur_n))
+                    if adaptive_irc:
+                        cols.append(irc_b.reshape(cur_n))
+                    g = _gather_lane_state(cols, idx)
+                    ch, cw = cap_n // 128, 128
+                    r2 = lambda a: a.reshape(  # noqa: E731
+                        (ch, cw) + a.shape[1:]
+                    )
+                    ray_pos, ray_dir, energy, prim_pos_b = (
+                        r2(g[0]), r2(g[1]), r2(g[2]), r2(g[3])
+                    )
+                    depth_quirk = r2(g[4])
+                    pxy = g[5]
+                    gi = 6
+                    if variants.support_refraction:
+                        inside = r2(g[gi]); gi += 1
+                    else:
+                        inside = inside.reshape(cur_n)[:cap_n].reshape(ch, cw)
+                    if settings.dithering:
+                        dither_b = r2(g[gi]); gi += 1
+                    else:
+                        dither_b = dither_b.reshape(cur_n)[:cap_n].reshape(ch, cw)
+                    if adaptive_irc:
+                        irc_b = r2(g[gi]); gi += 1
+                    else:
+                        irc_b = irc_b.reshape(cur_n)[:cap_n].reshape(ch, cw)
+                    view_dir_b = normalize(cam.position - prim_pos_b)
+                    rng_s = rng_s.replace(
+                        pix_x=r2(pxy & jnp.uint32(0x1FFF)),
+                        pix_y=r2(pxy >> jnp.uint32(13)),
+                        seed=r2(rng_s.seed.reshape(cur_n)[:cap_n]),
+                    )
+                    alive = valid.reshape(ch, cw)
+                    unwind.append((color_dom, slots, keep))
+                    color_dom = jnp.zeros((cap_n, 3), jnp.float32)
+
             depth_quirk = linear_eye_depth(depth_quirk, cam.near, cam.far)
 
             march = _march(
@@ -664,8 +853,8 @@ def trace_frame(
                 ray_pos,
                 ray_dir,
                 inside,
-                dither,
-                view_dir,
+                dither_b,
+                view_dir_b,
                 depth_quirk,
                 alive,
             )
@@ -686,15 +875,19 @@ def trace_frame(
                 surf=surf,
                 hit_pos=hit_pos,
                 hit_dist=march.distance,
-                primary_pos=position_ws,
+                primary_pos=prim_pos_b,
                 probes=probes,
             )
             rng_s = res.rng
-            color_s += jnp.where(
+            contrib = jnp.where(
                 alive[..., None],
-                energy * res.radiance * inv_ray_count[..., None],
+                energy * res.radiance * irc_b[..., None],
                 0.0,
             )
+            if color_dom is None:
+                color_flat = color_flat + contrib.reshape(n_full, 3)
+            else:
+                color_dom = color_dom + contrib.reshape(color_dom.shape[0], 3)
             energy = jnp.where(alive[..., None], res.energy, energy)
             ray_dir = jnp.where(alive[..., None], res.direction, ray_dir)
             ray_pos = jnp.where(alive[..., None], res.position, ray_pos)
@@ -713,7 +906,21 @@ def trace_frame(
                 energy,
             )
             alive = alive & survive
-        return color_s
+
+        # Unwind the compaction cascade: fold each compact domain's
+        # accumulated contributions back into its parent through the
+        # inverse slot map (a row gather — dropped overflow lanes have
+        # keep=False and contribute nothing, the documented deviation).
+        from .pallas_gather import row_gather
+
+        for parent, slots, keep in reversed(unwind):
+            folded = jnp.where(
+                keep[:, None], row_gather(color_dom, slots), 0.0
+            )
+            color_dom = folded if parent is None else parent + folded
+        if color_dom is not None:
+            color_flat = color_flat + color_dom
+        return color_flat.reshape(h, w, 3)
 
     draws_per_sample = 3 + settings.maximum_depth * 4
     if max_spp == 1:

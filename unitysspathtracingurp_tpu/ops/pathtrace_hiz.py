@@ -295,6 +295,32 @@ def ray_march_hiz(
                 _pfx + "n_cand_true": cand_s.sum(0, dtype=jnp.int32),
             }
         )
+        # Start-window locality: fraction of candidates whose tile-pair
+        # window equals the ray START texel's window (the cheap-fetch
+        # set for a pre-round against the home row).
+        iy0, ix0 = uv_to_pixel(ndc0[..., :2], gh, gw)
+        pair_start, _, _ = pair_of(ix0, iy0, tiles)
+        iy_s2 = ixy_s // gw
+        ix_s2 = ixy_s % gw
+        pair_c, _, _ = pair_of(ix_s2, iy_s2, tiles)
+        in_home = cand_s & (pair_c == pair_start[None])
+        _debug_out[_pfx + "cand_total"] = cand_s.sum(dtype=jnp.int32)
+        _debug_out[_pfx + "cand_in_home"] = in_home.sum(dtype=jnp.int32)
+        # Lanes whose FIRST candidate is in the home window (these
+        # leave the expensive scattered round-1 gather).
+        first_slot = jnp.argmax(cand_s, axis=0)
+        first_in_home = (
+            (n_cand.reshape(h, w) > 0)
+            & jnp.take_along_axis(in_home, first_slot[None], 0)[0]
+        )
+        _debug_out[_pfx + "first_in_home"] = first_in_home.sum(dtype=jnp.int32)
+        # Candidate spread around the home window (sizes the locality
+        # resolve kernel): |dy| in 8-px pair bands, |dx| in 32-px pairs.
+        dy_c = jnp.abs(pair_c // tiles.pairs_x - (pair_start // tiles.pairs_x)[None])
+        dx_c = jnp.abs(pair_c % tiles.pairs_x - (pair_start % tiles.pairs_x)[None])
+        for lim in (1, 2, 4, 8, 16):
+            within = cand_s & (dy_c <= lim) & (dx_c <= lim)
+            _debug_out[_pfx + f"cand_within_{lim}"] = within.sum(dtype=jnp.int32)
         if _debug_out.get("_full"):  # (S,H,W) dumps: small shapes only
             _debug_out.update(
                 {
@@ -311,131 +337,221 @@ def ray_march_hiz(
     # cost), select its texel with a one-hot mask-sum (cheaper than a
     # dynamic gather for a single texel), and exact-test the reference
     # hit rule.
-    ptr = jnp.zeros((h, w), jnp.int32)
-    hit = jnp.zeros((h, w), bool)
-    z = jnp.zeros((h, w), jnp.float32)
-    hit_cum = z
-    hit_diff = z
-    hit_th = z
-    hit_hitd = z
-    hit_lcum = z
-    hit_lhd = z
-    hit_prev = jnp.zeros((h, w), jnp.int32)
-    hit_ixy = jnp.zeros((h, w), jnp.int32)
-    prev_diff = z
-    prev_sidx = jnp.full((h, w), -1, jnp.int32)
-
     chain = 4  # candidates tested per fetched tile pair (consecutive
     # candidates often land in the same 32x8-px window: crawling rays)
 
-    for _round in range(n_rounds):
-        active = ~hit & (ptr < n_cand)
-        if _debug_out is not None:
-            _debug_out[f"{_pfx}active_r{_round}"] = active.sum(dtype=jnp.int32)
-        # Extract all chain links' candidates + positions up front (the
-        # links' data are independent; only the test logic is ordered).
-        links = []
-        for j in range(chain):
-            oh_k = k_iota[:, None] == (ptr + j).reshape(1, n_lanes)
+    # Per-lane resolve state. pk_* stay in the packing kernel's (K,
+    # lanes) layout — transposing them to lane-major measured +10% on
+    # the whole frame at 1080p (the relayout of 3x K-row arrays beats
+    # any extraction saving; scripts/probe_r3_phases.py round 3).
+    z = jnp.zeros((h, w), jnp.float32)
+    st = dict(
+        ptr=jnp.zeros((h, w), jnp.int32),
+        n_cand=n_cand,
+        pk_cum=pk_cum,
+        pk_scode=pk_scode,
+        pk_hist=pk_hist,
+        ray_pos=ray_pos,
+        ray_dir=ray_dir,
+        is_back_ray=is_back_ray,
+        hit=jnp.zeros((h, w), bool),
+        hit_cum=z, hit_diff=z, hit_th=z, hit_hitd=z, hit_lcum=z, hit_lhd=z,
+        hit_prev=jnp.zeros((h, w), jnp.int32),
+        hit_ixy=jnp.zeros((h, w), jnp.int32),
+        prev_diff=z,
+        prev_sidx=jnp.full((h, w), -1, jnp.int32),
+    )
+    # Scatter-merged fields after compact rounds (inputs ray_pos/
+    # ray_dir/is_back_ray/pk_*/n_cand never change, so they are gathered
+    # but not scattered back).
+    _OUT_KEYS = (
+        "ptr", "hit", "hit_cum", "hit_diff", "hit_th", "hit_hitd",
+        "hit_lcum", "hit_lhd", "hit_prev", "hit_ixy", "prev_diff",
+        "prev_sidx",
+    )
 
-            def exk(pk, oh_k=oh_k):
-                return jnp.sum(jnp.where(oh_k, pk, 0.0), 0).reshape(h, w)
+    def run_rounds(st, rounds, round_base):
+        """``rounds`` resolve rounds over state dict ``st`` (any lane
+        shape (lh, lw); pk_* are (K, lh*lw))."""
+        lh, lw = st["ptr"].shape
+        lanes = lh * lw
+        for _round in range(rounds):
+            active = ~st["hit"] & (st["ptr"] < st["n_cand"])
+            if _debug_out is not None:
+                _debug_out[f"{_pfx}active_r{round_base + _round}"] = (
+                    active.sum(dtype=jnp.int32)
+                )
+            # Extract all chain links' candidates + positions up front
+            # (the links' data are independent; only the test logic is
+            # ordered).
+            links = []
+            for j in range(chain):
+                oh_k = k_iota[:, None] == (st["ptr"] + j).reshape(1, lanes)
 
-            cd = exk(pk_cum)
-            scode = exk(pk_scode)
-            th_c = (scode // 8192.0) * 0.025
-            sbase = jnp.mod(scode, 8192.0)
-            s_idx = jnp.mod(sbase, 65.0).astype(jnp.int32)
-            p_idx = (sbase // 65.0).astype(jnp.int32) - 1
-            hist = exk(pk_hist)
-            hist_lcum = (hist // 4096.0) * 0.025
-            hist_lhd = jnp.mod(hist, 4096.0) * 0.025
+                def exk(pk, oh_k=oh_k):
+                    return jnp.sum(jnp.where(oh_k, pk, 0.0), 0).reshape(lh, lw)
 
-            pos = ray_pos + cd[..., None] * ray_dir
-            ndc = world_to_ndc(vp, pos)
-            hitd = lin(ndc[..., 2])
-            iy, ix = uv_to_pixel(ndc[..., :2], gh, gw)
-            pair, texel, high = pair_of(ix, iy, tiles)
-            links.append(dict(
-                cd=cd, th=th_c, s_idx=s_idx, p_idx=p_idx,
-                lcum=hist_lcum, lhd=hist_lhd, hitd=hitd,
-                pair=pair, texel=texel, high=high, ixy=iy * gw + ix,
-            ))
+                cd = exk(st["pk_cum"])
+                scode = exk(st["pk_scode"])
+                th_c = (scode // 8192.0) * 0.025
+                sbase = jnp.mod(scode, 8192.0)
+                s_idx = jnp.mod(sbase, 65.0).astype(jnp.int32)
+                p_idx = (sbase // 65.0).astype(jnp.int32) - 1
+                hist = exk(st["pk_hist"])
+                hist_lcum = (hist // 4096.0) * 0.025
+                hist_lhd = jnp.mod(hist, 4096.0) * 0.025
 
-        pair0 = links[0]["pair"]
-        blocks = row_gather(
-            tiles.pair_table, jnp.where(active, pair0, 0).reshape(-1)
-        ).reshape(h, w, 128)
-        # All chain links' texel words as adjacent one-hot mask-sums
-        # over the same fetched blocks (XLA multi-output fusion reads
-        # the blocks once). Integer sums: the words are f16 bit
-        # patterns — float arithmetic would corrupt NaN-payload
-        # encodings.
-        blocks_u = jax.lax.bitcast_convert_type(blocks, jnp.uint32)
-        texel_oh = jnp.arange(128, dtype=jnp.int32)
-        words = [
-            jnp.sum(
-                jnp.where(
-                    lk["texel"][..., None] == texel_oh, blocks_u, jnp.uint32(0)
-                ),
-                -1,
-                dtype=jnp.uint32,
+                pos = st["ray_pos"] + cd[..., None] * st["ray_dir"]
+                ndc = world_to_ndc(vp, pos)
+                hitd = lin(ndc[..., 2])
+                iy, ix = uv_to_pixel(ndc[..., :2], gh, gw)
+                pair, texel, high = pair_of(ix, iy, tiles)
+                links.append(dict(
+                    cd=cd, th=th_c, s_idx=s_idx, p_idx=p_idx,
+                    lcum=hist_lcum, lhd=hist_lhd, hitd=hitd,
+                    pair=pair, texel=texel, high=high, ixy=iy * gw + ix,
+                ))
+
+            pair0 = links[0]["pair"]
+            blocks = row_gather(
+                tiles.pair_table, jnp.where(active, pair0, 0).reshape(-1)
+            ).reshape(lh, lw, 128)
+            # All chain links' texel words as adjacent one-hot mask-sums
+            # over the same fetched blocks (XLA multi-output fusion
+            # reads the blocks once). Integer sums: the words are f16
+            # bit patterns — float arithmetic would corrupt NaN-payload
+            # encodings.
+            blocks_u = jax.lax.bitcast_convert_type(blocks, jnp.uint32)
+            texel_oh = jnp.arange(128, dtype=jnp.int32)
+            words = [
+                jnp.sum(
+                    jnp.where(
+                        lk["texel"][..., None] == texel_oh, blocks_u,
+                        jnp.uint32(0),
+                    ),
+                    -1,
+                    dtype=jnp.uint32,
+                )
+                for lk in links
+            ]
+
+            chain_on = active
+            adv = jnp.zeros((lh, lw), jnp.int32)
+            for j, lk in enumerate(links):
+                valid = chain_on & (st["ptr"] + j < st["n_cand"])
+                if j > 0:
+                    # Later chain links resolve only from the already
+                    # fetched 32x8-px window; leaving it ends the chain.
+                    valid = valid & (lk["pair"] == pair0)
+                d_raw = unpack_pair_half(
+                    jax.lax.bitcast_convert_type(words[j], jnp.float32),
+                    lk["high"],
+                )
+                scene = lin(d_raw)
+                is_sky = d_raw == RAW_FAR_CLIP
+                d = scene - lk["hitd"]
+                # Back-ray crossings emulate the reference's binary
+                # search (PathTracing.hlsl:138-163): a crossing |d|
+                # beyond the window needs ~log2(|d|/th) halvings, each
+                # costing one loop step.
+                halvings = jnp.ceil(
+                    jnp.log2(jnp.maximum(-d / jnp.maximum(lk["th"], 1e-6), 1.0))
+                )
+                budget_ok = (
+                    (lk["s_idx"] + 1).astype(jnp.float32) + halvings
+                    <= float(s_max)
+                )
+                # No depth cap on crossings: capping at 2x thickness (to
+                # reject silhouette discontinuities the reference's
+                # search oscillates on) removed a +1.5% single-frame
+                # mean bias but WORSENED converged pooled RMSE at both
+                # 1 and 2 bounces (2.39->3.58% / 5.58->5.92% at 256²)
+                # by also rejecting genuine deep overshoots — the budget
+                # rule alone tracks the reference best overall.
+                in_window = (d >= -lk["th"]) | (st["is_back_ray"] & budget_ok)
+                hit_now = valid & (d <= 0.0) & in_window & ~is_sky
+
+                st["hit_cum"] = jnp.where(hit_now, lk["cd"], st["hit_cum"])
+                st["hit_diff"] = jnp.where(hit_now, d, st["hit_diff"])
+                st["hit_th"] = jnp.where(hit_now, lk["th"], st["hit_th"])
+                st["hit_hitd"] = jnp.where(hit_now, lk["hitd"], st["hit_hitd"])
+                st["hit_lcum"] = jnp.where(hit_now, lk["lcum"], st["hit_lcum"])
+                st["hit_lhd"] = jnp.where(hit_now, lk["lhd"], st["hit_lhd"])
+                st["hit_prev"] = jnp.where(hit_now, lk["p_idx"], st["hit_prev"])
+                st["hit_ixy"] = jnp.where(hit_now, lk["ixy"], st["hit_ixy"])
+                fail = valid & ~hit_now
+                st["prev_diff"] = jnp.where(fail, d, st["prev_diff"])
+                st["prev_sidx"] = jnp.where(fail, lk["s_idx"], st["prev_sidx"])
+                adv = jnp.where(fail, adv + 1, adv)
+                st["hit"] = st["hit"] | hit_now
+                chain_on = fail
+            # Pointer advances past every tested-and-failed candidate.
+            st["ptr"] = st["ptr"] + adv
+        return st
+
+    round_cap = cfg.hiz_round_cap
+    if round_cap is None or n_rounds <= 1:
+        st = run_rounds(st, n_rounds, 0)
+    else:
+        # Round 1 dense, rounds 2+ compacted to the unresolved lanes.
+        # MEASURED NEGATIVE on v5e at the headline config (655 ms vs
+        # 425 ms with bounce compaction alone): the resolve's gather
+        # fuses to near-zero marginal cost inside the round graph
+        # (scripts/probe_round_cost.py: round_nogather 34.0 vs
+        # round_full 35.9 ms), so re-domaining the ~20-field state
+        # costs far more than the skipped work. Kept as an off-default
+        # knob + equivalence gate because the result is config-shaped;
+        # see docs/Performance.md round 3.
+        from .pathtrace import (
+            _compact_indices,
+            _gather_lane_state,
+            _scatter_lane_state,
+        )
+
+        st = run_rounds(st, 1, 0)
+        cap_n = min(
+            n_lanes, max(1024, -(-int(round_cap * n_lanes) // 1024) * 1024)
+        )
+        if cap_n < n_lanes:
+            active = ~st["hit"] & (st["ptr"] < st["n_cand"])
+            idx, valid, n_drop, _, _ = _compact_indices(
+                active.reshape(n_lanes), cap_n
             )
-            for lk in links
-        ]
+            if _debug_out is not None:
+                _debug_out[f"{_pfx}round_compact_drop"] = n_drop
+            pk_keys = ("pk_cum", "pk_scode", "pk_hist")
+            keys = [k for k in st.keys() if k not in pk_keys]
+            gathered = _gather_lane_state(
+                [st[k].reshape((n_lanes,) + st[k].shape[2:]) for k in keys], idx
+            )
+            ch, cw = cap_n // 128, 128
+            cst = {
+                k: g.reshape((ch, cw) + g.shape[1:])
+                for k, g in zip(keys, gathered)
+            }
+            for k in pk_keys:  # (K, lanes): column gather
+                cst[k] = jnp.take(st[k], idx, axis=1)
+            # Compacted lanes are all unresolved; overflow lanes keep
+            # their dense state and finalize as unresolved -> miss.
+            cst["hit"] = jnp.zeros((ch, cw), bool)
+            cst = run_rounds(cst, n_rounds - 1, 1)
+            merged = _scatter_lane_state(
+                [st[k].reshape((n_lanes,) + st[k].shape[2:]) for k in _OUT_KEYS],
+                [cst[k].reshape((cap_n,) + cst[k].shape[2:]) for k in _OUT_KEYS],
+                idx,
+                valid,
+            )
+            for k, m in zip(_OUT_KEYS, merged):
+                st[k] = m.reshape((h, w) + m.shape[1:])
+        else:
+            st = run_rounds(st, n_rounds - 1, 1)
 
-        chain_on = active
-        adv = jnp.zeros((h, w), jnp.int32)
-        for j, lk in enumerate(links):
-            valid = chain_on & (ptr + j < n_cand)
-            if j > 0:
-                # Later chain links resolve only from the already
-                # fetched 32x8-px window; leaving it ends the chain.
-                valid = valid & (lk["pair"] == pair0)
-            d_raw = unpack_pair_half(
-                jax.lax.bitcast_convert_type(words[j], jnp.float32),
-                lk["high"],
-            )
-            scene = lin(d_raw)
-            is_sky = d_raw == RAW_FAR_CLIP
-            d = scene - lk["hitd"]
-            # Back-ray crossings emulate the reference's binary search
-            # (PathTracing.hlsl:138-163): a crossing |d| beyond the
-            # window needs ~log2(|d|/th) halvings, each costing one
-            # loop step.
-            halvings = jnp.ceil(
-                jnp.log2(jnp.maximum(-d / jnp.maximum(lk["th"], 1e-6), 1.0))
-            )
-            budget_ok = (
-                (lk["s_idx"] + 1).astype(jnp.float32) + halvings
-                <= float(s_max)
-            )
-            # No depth cap on crossings: capping at 2x thickness (to
-            # reject silhouette discontinuities the reference's search
-            # oscillates on) removed a +1.5% single-frame mean bias but
-            # WORSENED converged pooled RMSE at both 1 and 2 bounces
-            # (2.39->3.58% / 5.58->5.92% at 256²) by also rejecting
-            # genuine deep overshoots — the budget rule alone tracks
-            # the reference best overall.
-            in_window = (d >= -lk["th"]) | (is_back_ray & budget_ok)
-            hit_now = valid & (d <= 0.0) & in_window & ~is_sky
-
-            hit_cum = jnp.where(hit_now, lk["cd"], hit_cum)
-            hit_diff = jnp.where(hit_now, d, hit_diff)
-            hit_th = jnp.where(hit_now, lk["th"], hit_th)
-            hit_hitd = jnp.where(hit_now, lk["hitd"], hit_hitd)
-            hit_lcum = jnp.where(hit_now, lk["lcum"], hit_lcum)
-            hit_lhd = jnp.where(hit_now, lk["lhd"], hit_lhd)
-            hit_prev = jnp.where(hit_now, lk["p_idx"], hit_prev)
-            hit_ixy = jnp.where(hit_now, lk["ixy"], hit_ixy)
-            fail = valid & ~hit_now
-            prev_diff = jnp.where(fail, d, prev_diff)
-            prev_sidx = jnp.where(fail, lk["s_idx"], prev_sidx)
-            adv = jnp.where(fail, adv + 1, adv)
-            hit = hit | hit_now
-            chain_on = fail
-        # Pointer advances past every tested-and-failed candidate.
-        ptr = ptr + adv
+    ptr = st["ptr"]
+    hit = st["hit"]
+    hit_cum, hit_diff, hit_th = st["hit_cum"], st["hit_diff"], st["hit_th"]
+    hit_hitd, hit_lcum, hit_lhd = st["hit_hitd"], st["hit_lcum"], st["hit_lhd"]
+    hit_prev, hit_ixy = st["hit_prev"], st["hit_ixy"]
+    prev_diff, prev_sidx = st["prev_diff"], st["prev_sidx"]
 
     # ---- Finalize (all per-lane scalars). Hit interpolation
     # (ref :199-214): the previous processed step's depth difference is
