@@ -19,6 +19,11 @@ import numpy as np
 def main():
     import jax
 
+    # The JAX_PLATFORMS env var alone does NOT stop the TPU plugin from
+    # hanging when the tunnel is down — only the config API does
+    # (tests/conftest.py has the same workaround).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # The fully-unrolled march compiles slowly (minutes at 1080p); the
     # persistent cache makes repeat bench runs start in seconds.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")

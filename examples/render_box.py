@@ -41,7 +41,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    from unitysspathtracingurp_tpu.utils.jaxenv import setup_jax
+
+    setup_jax()
 
     from unitysspathtracingurp_tpu.config import (
         DenoiserType,

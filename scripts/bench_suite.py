@@ -78,12 +78,12 @@ def main():
     probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
     frames = 2 if small else 5
     results = []
-    # Kernel selection mirrors bench.py: hiz for the variants it covers,
-    # parity (xla) for refraction/backface; BENCH_KERNEL=xla forces parity.
+    # Kernel selection mirrors bench.py: hiz covers every variant set
+    # since round 3; BENCH_KERNEL=xla forces the parity tracer.
     force_xla = os.environ.get("BENCH_KERNEL") == "xla"
 
     def pick_trace(variants):
-        if force_xla or variants.support_refraction or variants.backface_textures:
+        if force_xla:
             return trace_frame, "xla"
         return trace_frame_hiz, "hiz"
 

@@ -1,11 +1,13 @@
 """Convergence study: hashed RNG vs generated blue-noise tables
+vs Owen-scrambled Sobol (NoiseMethod.SOBOL_OWEN, the beyond-reference
+unbounded sampler; VERDICT r2 item 5: frames-to-1% <= 1024)
 (VERDICT r1 item 3; the reference ships blue noise precisely for
 convergence, PathTracingUtilities.hlsl:78-99 / Documentation.md:28).
 
 BoxScene 256², 1 bounce, offline accumulation. Measures 4x4-pooled
 relative RMSE vs the cached 16384-frame golden as a function of
 accumulated frames, for both noise methods; reports frames-to-<=1% and
-writes the curves to fixtures/convergence_r2.json.
+writes the curves to fixtures/convergence_r3.json.
 
 Run on TPU: python scripts/convergence_study.py [--max 4096]
 """
@@ -22,7 +24,7 @@ GOLDEN_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "box256_golden.npz"
 )
 OUT_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "convergence_r2.json"
+    os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "convergence_r3.json"
 )
 
 
@@ -32,8 +34,9 @@ def main():
         max_frames = int(sys.argv[sys.argv.index("--max") + 1])
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from unitysspathtracingurp_tpu.utils.jaxenv import setup_jax
+
+    setup_jax()
     import jax.numpy as jnp
 
     from unitysspathtracingurp_tpu.config import (
@@ -65,7 +68,8 @@ def main():
     if "--mode" in sys.argv:
         only = sys.argv[sys.argv.index("--mode") + 1]
     results = {}
-    for method in (NoiseMethod.HASHED_RANDOM, NoiseMethod.BLUE_NOISE):
+    for method in (NoiseMethod.HASHED_RANDOM, NoiseMethod.BLUE_NOISE,
+                   NoiseMethod.SOBOL_OWEN):
         if only and method.name.lower() != only:
             continue
         settings = PTSettings(

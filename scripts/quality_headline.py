@@ -1,0 +1,177 @@
+"""Converged hiz-vs-parity deviation at the HEADLINE bench config
+(VERDICT r2 item 4): BoxScene 1920x1080, 4 bounces, 24 steps, the
+exact shape/settings bench.py reports Mrays/s on.
+
+Methodology: both tracers accumulate the SAME seed stream (common
+random numbers — the BRDF/noise draws are identical per frame, so
+Monte-Carlo noise cancels in the difference and the pooled RMSE
+isolates the *systematic* march deviation). Pooling/masking matches
+scripts/quality_report.py (4x4 pooled, hit-lanes only). The two
+kernels run in separate subprocesses: a second large program in one
+process can die with INVALID_ARGUMENT on the tunneled TPU, and jax
+0.9's dispatch cache can collide two same-signature jits.
+
+Usage:
+  python scripts/quality_headline.py                 # full run (both)
+  python scripts/quality_headline.py --frames 256    # reduced budget
+  python scripts/quality_headline.py --kernel hiz --frames N --out F
+                                                     # one-kernel worker
+
+Writes fixtures/quality_headline_r3.json + prints one JSON line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, ROOT)
+
+H, W = 1080, 1920
+BOUNCES = 4
+STEPS = 24
+
+
+def _arg(name, default=None):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
+
+
+def worker(kernel: str, frames: int, out_path: str) -> None:
+    import jax
+
+    from unitysspathtracingurp_tpu.utils.jaxenv import setup_jax
+
+    setup_jax()
+    import jax.numpy as jnp
+
+    from unitysspathtracingurp_tpu.config import PTConfig, PTSettings
+    from unitysspathtracingurp_tpu.models import fixtures, scene
+    from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
+
+    sc = scene.build_box_scene()
+    cam = fixtures.box_scene_camera(H, W)
+    gb = fixtures.rasterize_gbuffers(sc, cam, H, W)
+    probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
+    settings = PTSettings(
+        maximum_depth=BOUNCES,
+        samples_per_pixel=1,
+        maximum_steps=STEPS,
+        dithering=False,
+    )
+    # The exact headline bench config (bench.py): BoxScene-tuned
+    # compaction caps; hiz additionally prebuilds the static tiles.
+    cfg = PTConfig(compaction_caps=(1.0, 0.5, 0.3125, 0.25))
+    variants = settings.variants()
+
+    if kernel == "hiz":
+        from unitysspathtracingurp_tpu.ops.depth_tiles import build_depth_tiles
+        from unitysspathtracingurp_tpu.ops.pathtrace_hiz import trace_frame_hiz
+
+        tiles = jax.jit(build_depth_tiles)(gb.layer1_depth(), cam.near, cam.far)
+        fn = jax.jit(
+            lambda fi: trace_frame_hiz(
+                gb, cam, probes, settings, cfg, variants, fi, tiles=tiles
+            )
+        )
+    else:
+        from unitysspathtracingurp_tpu.ops.pathtrace import trace_frame
+
+        fn = jax.jit(
+            lambda fi: trace_frame(
+                gb, cam, probes, settings, cfg, variants, fi
+            )
+        )
+
+    acc = np.zeros((H, W, 3), np.float64)
+    t0 = time.time()
+    for i in range(frames):
+        acc += np.asarray(fn(jnp.uint32((33 * i) % 64000)))
+        if (i + 1) % 64 == 0:
+            print(
+                f"# {kernel}: {i+1}/{frames} ({time.time()-t0:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+    np.savez_compressed(
+        out_path,
+        image=(acc / frames).astype(np.float32),
+        depth=np.asarray(gb.depth).astype(np.float32),
+    )
+
+
+def compare(path_hiz: str, path_xla: str, frames: int) -> dict:
+    from unitysspathtracingurp_tpu.utils.metrics import relative_rmse
+
+    a = np.load(path_hiz)
+    b = np.load(path_xla)
+    img_h, img_x = a["image"], b["image"]
+    depth = a["depth"]
+    mask = depth > 0
+
+    pool = lambda x: x.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))  # noqa: E731
+    pooled_mask = depth.reshape(H // 4, 4, W // 4, 4).min((1, 3)) > 0
+
+    pooled = relative_rmse(pool(img_h), pool(img_x), pooled_mask)
+    per_px = relative_rmse(img_h, img_x, mask)
+    mh, mx = img_h[mask].mean(), img_x[mask].mean()
+    bias = (mh - mx) / mx
+    # Spatial decomposition: worst 4x4-pooled cells (where do the two
+    # marches disagree — window edges flip whole reflection features).
+    d = np.linalg.norm(pool(img_h) - pool(img_x), axis=-1)
+    r = np.linalg.norm(pool(img_x), axis=-1) + 1e-6
+    rel = np.where(pooled_mask, d / r, 0.0)
+    frac_over_5pct = float((rel > 0.05).mean())
+    frac_over_1pct = float((rel > 0.01).mean())
+    return {
+        "metric": "hiz-vs-parity converged deviation "
+        f"(BoxScene {W}x{H}, {BOUNCES} bounces, {STEPS} steps, "
+        "common seed stream)",
+        "frames": frames,
+        "pooled_rel_rmse": round(float(pooled), 4),
+        "per_pixel_rel_rmse": round(float(per_px), 4),
+        "mean_bias": round(float(bias), 5),
+        "pooled_cells_over_1pct": round(frac_over_1pct, 4),
+        "pooled_cells_over_5pct": round(frac_over_5pct, 4),
+    }
+
+
+def main():
+    kernel = _arg("--kernel")
+    frames = int(_arg("--frames", "512"))
+    if kernel:
+        worker(kernel, frames, _arg("--out"))
+        return 0
+
+    outs = {}
+    for k in ("hiz", "xla"):
+        outs[k] = f"/tmp/quality_headline_{k}.npz"
+        if os.path.exists(outs[k]) and "--reuse" in sys.argv:
+            print(f"# reusing {outs[k]}", file=sys.stderr)
+            continue
+        rc = subprocess.call(
+            [
+                sys.executable, "-u", os.path.abspath(__file__),
+                "--kernel", k, "--frames", str(frames), "--out", outs[k],
+            ],
+            cwd=ROOT,
+        )
+        if rc != 0:
+            print(json.dumps({"error": f"{k} worker failed rc={rc}"}))
+            return 1
+
+    result = compare(outs["hiz"], outs["xla"], frames)
+    art = os.path.join(ROOT, "fixtures", "quality_headline_r3.json")
+    with open(art, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

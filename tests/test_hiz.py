@@ -146,6 +146,43 @@ def test_hiz_march_hit_parity():
     assert np.quantile(pos_err[both], 0.9) < 0.08, np.quantile(pos_err[both], 0.9)
 
 
+def test_hiz_march_parity_64steps():
+    """maximum_steps=64 (the validated max): the thickness-code cap is
+    derived from cfg so the deepest-tier growth (th ~ 6.7 m at step 64)
+    must stay inside the packed-field quantization — late-step hit
+    windows may not shrink vs parity (advisor r2: the old fixed cap
+    saturated at 3.175 m and silently halved them). Cropped to two
+    lane-rows: 64 steps multiply every (S, H, W) phase-1 array and the
+    schedule coverage is per-step, not per-lane. Runs the unfused front
+    half (the fused 64-step gate is TPU-only, test_fused_schedule)."""
+    gb, cam, origin, d, alive, view_dir, scene_dist = _march_inputs(256, 256)
+    sl = lambda a: a[112:128]  # noqa: E731 — center rows: box + mirror
+    origin, d, alive = sl(origin), sl(d), sl(alive)
+    view_dir, scene_dist = sl(view_dir), sl(scene_dist)
+    cfg = PTConfig(fused_schedule=False)
+    settings = PTSettings(maximum_steps=64, dithering=False)
+    variants = settings.variants()
+    h, w = origin.shape[:2]
+    zero = jnp.zeros((h, w), jnp.float32)
+
+    ref = pathtrace.ray_march(
+        cfg, settings, variants, gb, cam, origin, d, zero, zero,
+        -view_dir, scene_dist, alive,
+    )
+    tiles = build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
+    fast = pathtrace_hiz.ray_march_hiz(
+        cfg, settings, variants, gb, cam, origin, d, zero, zero,
+        -view_dir, scene_dist, alive, tiles=tiles, n_rounds=10,
+    )
+    ref_hit = np.asarray(ref.hit)
+    fast_hit = np.asarray(fast.hit)
+    agree = (ref_hit == fast_hit).mean()
+    assert agree >= 0.97, f"hit-mask agreement {agree:.4f}"
+    both = ref_hit & fast_hit
+    dist_err = np.abs(np.asarray(ref.distance) - np.asarray(fast.distance))
+    assert np.median(dist_err[both]) < 1e-3
+
+
 def test_hiz_trace_frame_radiance_close():
     """End-to-end pass-0 radiance: fast tracer vs parity tracer."""
     h, w = 256, 256

@@ -21,10 +21,16 @@ import enum
 
 
 class NoiseMethod(enum.Enum):
-    """Per-pixel random source (reference: PathTracingVolume.cs:111-119)."""
+    """Per-pixel random source (reference: PathTracingVolume.cs:111-119).
+
+    SOBOL_OWEN is a beyond-reference extension: an unbounded
+    hash-based Owen-scrambled Sobol sampler for offline convergence runs
+    (the reference's blue-noise sequence wraps every 256 samples; see
+    ops/rng._sobol_owen_sample)."""
 
     HASHED_RANDOM = 0
     BLUE_NOISE = 1
+    SOBOL_OWEN = 2
 
 
 class DenoiserType(enum.Enum):
@@ -122,6 +128,16 @@ class PTConfig:
     # class). None disables.
     hiz_round_cap: float | None = None
 
+    # TPU tuning (no behavioral effect, gated equal by
+    # tests/test_fused_schedule.py): run the hiz front half (schedule
+    # build + minitile filter + candidate pack) as one fused Pallas
+    # kernel instead of three HBM-streaming stages. Plain-tiles
+    # variants only; dual (refraction/backface) and _debug_out runs
+    # always use the unfused path. None = auto: fused on TPU, unfused
+    # in Pallas interpret mode (XLA:CPU takes minutes compiling the
+    # interpreted s_max-step kernel body into every enclosing jit).
+    fused_schedule: bool | None = None
+
     # TPU tuning (no behavioral effect): march-loop unroll factor.
     # True = fully unroll. Gathers inside rolled XLA loops hit a ~500x
     # slower scalar path on TPU (measured on v5e); full unrolling keeps
@@ -141,6 +157,9 @@ class PTVariants:
 
     temporal_accumulation: bool = False  # _TEMPORAL_ACCUMULATION
     blue_noise: bool = False  # _METHOD_BLUE_NOISE (else hashed random)
+    # Beyond-reference axis: tableless Owen-scrambled Sobol sampling
+    # (NoiseMethod.SOBOL_OWEN; ops/rng._sobol_owen_sample).
+    sobol_owen: bool = False
     support_refraction: bool = False  # _SUPPORT_REFRACTION
     backface_textures: bool = False  # _BACKFACE_TEXTURES
     ignore_forward_objects: bool = False  # _IGNORE_FORWARD_OBJECTS
@@ -219,6 +238,7 @@ class PTSettings:
             temporal_accumulation=self.denoiser
             in (DenoiserType.TEMPORAL, DenoiserType.SPATIAL_TEMPORAL),
             blue_noise=self.noise_method == NoiseMethod.BLUE_NOISE,
+            sobol_owen=self.noise_method == NoiseMethod.SOBOL_OWEN,
             support_refraction=self.support_refraction,
             backface_textures=self.accurate_thickness != ThicknessMode.CONSTANT,
             ignore_forward_objects=self.ignore_forward_objects,

@@ -191,20 +191,12 @@ class Renderer:
             else 0
         )
 
-        from ..ops.pathtrace_hiz import hiz_supported
-
         if kernel == "auto":
-            self.kernel = "hiz" if hiz_supported(self.variants) else "xla"
-        elif kernel == "hiz":
-            if not hiz_supported(self.variants):
-                raise ValueError(
-                    "kernel='hiz' does not cover the backface/refraction "
-                    "variants; use kernel='auto' (dispatches the parity "
-                    "tracer for those) or 'xla'"
-                )
+            # hiz covers every variant set since round 3 (refraction/
+            # backface march against DualDepthTiles).
             self.kernel = "hiz"
-        elif kernel == "xla":
-            self.kernel = "xla"
+        elif kernel in ("hiz", "xla"):
+            self.kernel = kernel
         else:
             raise ValueError(f"unknown kernel {kernel!r} (auto|hiz|xla)")
         # DepthTiles reuse across static-depth frames; keyed by buffer
@@ -282,9 +274,11 @@ class Renderer:
         if self._tiles is None or self._tiles_src != key[1:] or (
             self._tiles_key is not src
         ):
-            from ..ops.depth_tiles import build_depth_tiles
+            from ..ops.pathtrace_hiz import build_tiles_for
 
-            self._tiles = jax.jit(build_depth_tiles)(src, cam.near, cam.far)
+            self._tiles = jax.jit(
+                build_tiles_for, static_argnames=("variants",)
+            )(gb, cam, self.variants)
             self._tiles_key = src  # held reference: ids can't recycle
             self._tiles_src = key[1:]
         return self._tiles

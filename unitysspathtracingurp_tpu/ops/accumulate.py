@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..utils.image import luminance
+from ..utils.profiling import PASS_OFFLINE_ACCUM, named_pass
 
 
 @struct.dataclass
@@ -40,6 +41,7 @@ class OfflineAccumState:
         )
 
 
+@named_pass(PASS_OFFLINE_ACCUM)
 def offline_accumulate(
     state: OfflineAccumState,
     frame: jnp.ndarray,

@@ -22,11 +22,13 @@ from ..config import PTConfig
 from ..gbuffer import GBuffers, SURFACE_TYPE_REFRACTION, gather2d
 from .brdf import saturate
 from .rng import hashed_random_float
+from ..utils.profiling import PASS_DENOISE, named_pass
 
 _OFFSETS = [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
 _KERNEL = [0.0625, 0.125, 0.0625, 0.125, 0.25, 0.125, 0.0625, 0.125, 0.0625]
 
 
+@named_pass(PASS_DENOISE)
 def atrous_filter(
     color: jnp.ndarray,
     gb: GBuffers,

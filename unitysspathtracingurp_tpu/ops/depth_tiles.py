@@ -62,6 +62,58 @@ class DepthTiles:
         return self.mini_table.shape[0]
 
 
+@struct.dataclass
+class DualDepthTiles:
+    """Multi-layer depth structures for the refraction / backface
+    variants (PathTracing.hlsl:79-98 3-layer selection + :111-136
+    backface thickness rules).
+
+    The per-lane depth *pair* (test layer, back layer) is one of up to
+    3 static combos chosen by the insideObject state (constant within
+    one march call — it only changes between bounces):
+
+      combo 0 (inside==0): (layer1, back)
+      combo 1 (inside==1): (back,   opaque)   [refraction+backface]
+      combo 2 (inside==2): (opaque, back)     [refraction+backface]
+      refraction-only:     (layer1, none) / (opaque, none)
+      backface-only:       (layer1, back)
+
+    ``tile_table`` rows hold ONE 16x8 tile per combo, one u32 word per
+    texel: low f16 = test-layer raw depth, high f16 = back-layer raw
+    depth (0 = no back data, the sky sentinel). Row = combo * NT +
+    tile index, so one row gather fetches both layers of the right
+    combo. ``mini_table`` packs per 32x16-px minitile per combo
+    f16(mmin)|f16(umax)<<16 where mmin = min linear test depth and
+    umax = max over texels of (back-valid ? max(back, test) : test) —
+    the conservative upper bound of the backface hit rule
+    (hlsl:168-181). ``bmax_table`` packs the max valid back depth
+    (-inf where no texel has valid back data): a front ray below it
+    may start the reference's binary search (hlsl:149-156).
+    """
+
+    tile_table: jnp.ndarray  # (n_combos*NT, 128) u32-as-f32 test|back f16
+    mini_table: jnp.ndarray  # (n_combos*chunks, 128) mmin|umax
+    bmax_table: jnp.ndarray  # (n_combos*chunks, 128) bmax f16 (low half)
+    height: int = struct.field(pytree_node=False)
+    width: int = struct.field(pytree_node=False)
+    tiles_x: int = struct.field(pytree_node=False)
+    tiles_y: int = struct.field(pytree_node=False)
+    minis_x: int = struct.field(pytree_node=False)
+    n_combos: int = struct.field(pytree_node=False)
+
+    @property
+    def tiles_per_combo(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def chunks_per_combo(self) -> int:
+        return self.mini_table.shape[0] // self.n_combos
+
+    @property
+    def n_mini_chunks(self) -> int:
+        return self.mini_table.shape[0]
+
+
 def _f16bits(x):
     return jax.lax.bitcast_convert_type(
         x.astype(jnp.float16), jnp.uint16
@@ -117,6 +169,118 @@ def build_depth_tiles(depth: jnp.ndarray, near, far) -> DepthTiles:
         pairs_x=px_n,
         minis_x=mx_n,
     )
+
+
+def _tile_layout(img: jnp.ndarray, h: int, w: int):
+    """(H, W) -> (ty, tx, 128) single-tile texel layout, sky-padded."""
+    pad_y = (-h) % (TILE_H * MINI_TY)
+    pad_x = (-w) % (TILE_W * MINI_TX)
+    d = jnp.pad(img, ((0, pad_y), (0, pad_x)))
+    hp, wp = h + pad_y, w + pad_x
+    ty, tx = hp // TILE_H, wp // TILE_W
+    return (
+        d.reshape(ty, TILE_H, tx, TILE_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(ty, tx, TILE_H * TILE_W)
+    ), ty, tx
+
+
+def build_dual_depth_tiles(combos, near, far, height: int, width: int):
+    """Build DualDepthTiles from per-combo (test_depth, back_depth)
+    raw reversed-Z images; ``back_depth`` may be None (no back data —
+    packed as the sky sentinel 0, making back_valid false everywhere,
+    which reduces the hit rule to the plain thickness window)."""
+    tile_rows, mini_rows, bmax_rows = [], [], []
+    ty = tx = mx_n = 0
+    for test, back in combos:
+        tiles_t, ty, tx = _tile_layout(test, height, width)
+        if back is None:
+            back_b = jnp.zeros_like(tiles_t)
+        else:
+            back_b, _, _ = _tile_layout(back, height, width)
+        tile_rows.append(
+            _f16bits(tiles_t) | (_f16bits(back_b) << 16)
+        )
+
+        lin_t = linear_eye_depth(tiles_t, near, far)
+        lin_b = linear_eye_depth(back_b, near, far)
+        back_ok = (back_b != 0.0) & (lin_b >= lin_t)
+        upper = jnp.where(back_ok, jnp.maximum(lin_b, lin_t), lin_t)
+        tmin = jnp.min(lin_t, axis=2) * (1.0 - 2.0**-9)
+        tumax = jnp.max(upper, axis=2) * (1.0 + 2.0**-9)
+        tbmax = jnp.max(jnp.where(back_ok, lin_b, -jnp.inf), axis=2) * (
+            1.0 + 2.0**-9
+        )
+        mx_n = tx // MINI_TX
+        my_n = ty // MINI_TY
+        mmin = tmin.reshape(my_n, MINI_TY, mx_n, MINI_TX).min((1, 3)).reshape(-1)
+        mumax = tumax.reshape(my_n, MINI_TY, mx_n, MINI_TX).max((1, 3)).reshape(-1)
+        mbmax = tbmax.reshape(my_n, MINI_TY, mx_n, MINI_TX).max((1, 3)).reshape(-1)
+        n_mini = my_n * mx_n
+        m_chunks = -(-n_mini // 128)
+        padn = m_chunks * 128 - n_mini
+        mmin = jnp.pad(mmin, (0, padn), constant_values=jnp.inf)
+        mumax = jnp.pad(mumax, (0, padn), constant_values=-jnp.inf)
+        mbmax = jnp.pad(mbmax, (0, padn), constant_values=-jnp.inf)
+        mini_rows.append(
+            (_f16bits(mmin) | (_f16bits(mumax) << 16)).reshape(m_chunks, 128)
+        )
+        bmax_rows.append(_f16bits(mbmax).reshape(m_chunks, 128))
+
+    bc = jax.lax.bitcast_convert_type
+    return DualDepthTiles(
+        tile_table=bc(
+            jnp.concatenate(tile_rows, 0).reshape(-1, TILE_H * TILE_W),
+            jnp.float32,
+        ),
+        mini_table=bc(jnp.concatenate(mini_rows, 0), jnp.float32),
+        bmax_table=bc(jnp.concatenate(bmax_rows, 0), jnp.float32),
+        height=height,
+        width=width,
+        tiles_x=tx,
+        tiles_y=ty,
+        minis_x=mx_n,
+        n_combos=len(combos),
+    )
+
+
+def variant_combos(gb, variants):
+    """The (test, back) depth-image combos of a variant set, indexed by
+    the per-lane insideObject state (ref PathTracing.hlsl:79-98)."""
+    layer1 = gb.layer1_depth()
+    back = gb.back_depth if variants.backface_textures else None
+    if variants.support_refraction:
+        if back is not None:
+            return [
+                (layer1, back),
+                (back, gb.depth),
+                (gb.depth, back),
+            ]
+        # refraction without back data: 2-layer selection only.
+        return [(layer1, None), (gb.depth, None)]
+    return [(layer1, back)]
+
+
+def tile_of(ix: jnp.ndarray, iy: jnp.ndarray, tiles):
+    """(tile_row, texel_word) of pixel (iy, ix) in single-tile rows."""
+    row = (iy // TILE_H) * tiles.tiles_x + (ix // TILE_W)
+    texel = (iy % TILE_H) * TILE_W + (ix % TILE_W)
+    return row, texel
+
+
+def unpack_dual(vals_f32bits: jnp.ndarray):
+    """(test_raw, back_raw) f16->f32 from a dual-layer tile word."""
+    u = jax.lax.bitcast_convert_type(vals_f32bits, jnp.uint32)
+    t = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16), jnp.float16)
+    b = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.float16)
+    return t.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def unpack_f16_low(vals_f32bits: jnp.ndarray):
+    """f32 value from the low f16 half (bmax_table entries)."""
+    u = jax.lax.bitcast_convert_type(vals_f32bits, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16), jnp.float16)
+    return lo.astype(jnp.float32)
 
 
 def unpack_minmax(vals_f32bits: jnp.ndarray):

@@ -1,0 +1,299 @@
+"""Fused march-schedule + minitile-filter + candidate-pack Pallas kernel.
+
+Round-3 perf lever (VERDICT r2 item 1b): the unfused hiz front half
+materializes eight (S, H, W) schedule arrays in HBM (~12 ms at 1080p),
+streams them through the minitile broadcast select (~15 ms) and again
+through the packing kernel (~7-11 ms) — ~34 ms/bounce of almost pure
+HBM traffic. This kernel runs the whole per-step chain in VMEM: for
+each 1024-lane block it rebuilds the step schedule in registers
+(tier/dither/growth/skip/exit exactly as ops/pathtrace_hiz.py phase 1,
+itself a rebuild of PathTracing.hlsl:42-77, 239-251), tests each step
+against the minitile depth intervals held in VMEM, and packs surviving
+candidates into per-lane K-slot lists — reading only the per-lane ray
+state (~40 B/lane) and writing only the packed fields (~200 B/lane).
+
+The packed outputs are bit-identical to the unfused pipeline
+(pack_by_slot over the phase-1/2 arrays); tests/test_fused_schedule.py
+gates exact equality in interpret mode (CPU CI) and the TPU bench
+drives the real Mosaic lowering.
+
+Plain-DepthTiles variant only (the headline path); refraction/backface
+configs keep the unfused front half (DualDepthTiles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .depth_tiles import MINI_TX, MINI_TY, TILE_H, TILE_W
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_LANES_PER_BLOCK = 1024  # (8, 128) per-lane vectors: full VPU tiles
+
+
+def _unpack_minmax_vec(word_f32):
+    """f16(min) | f16(max)<<16 -> (min_f32, max_f32), elementwise."""
+    u = jax.lax.bitcast_convert_type(word_f32, jnp.uint32)
+    mn = jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.float16
+    )
+    mx = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.float16
+    )
+    return mn.astype(jnp.float32), mx.astype(jnp.float32)
+
+
+def fused_schedule_pack(*args, **kwargs):
+    """Jit wrapper: on TPU the kernel is jitted as usual; in interpret
+    mode (CPU CI) it runs EAGERLY — jitting the interpreted kernel
+    hands XLA:CPU the fully unrolled s_max-step grid body as one graph
+    and compile time explodes (>15 min at 64 steps, slow-compile
+    alarm), while eager interpret evaluates it in seconds."""
+    if _use_interpret():
+        return _fused_schedule_pack(*args, **kwargs)
+    return _fused_schedule_pack_jit(*args, **kwargs)
+
+
+def _fused_schedule_pack(
+    ray_pos,        # (N, 3) f32
+    ray_dir,        # (N, 3) f32
+    dither,         # (N,) f32
+    large_step,     # (N,) f32 (precomputed far-tier step, ref :55)
+    alive,          # (N,) bool
+    is_back,        # (N,) bool (binary-search-capable lanes)
+    mini_table,     # (n_chunks, 128) f32-bitcast u32 f16 min|max<<16
+    scalars,        # (1, 18) f32: view_proj row-major (16) + zz + zw
+    *,
+    gh: int,
+    gw: int,
+    minis_x: int,
+    n_chunks: int,
+    s_max: int,
+    k: int,
+    max_small_step: int,
+    max_medium_step: int,
+    small_step_size: float,
+    medium_step_size: float,
+    marching_thickness: float,
+    step_growth: float,
+    thickness_growth: float,
+):
+    """Returns (pk_cum, pk_scode, pk_hist) each (k, N) f32 plus
+    n_cand (N,) i32 — the exact outputs of the unfused phase-1/2/3
+    chain (ops/pathtrace_hiz.py) for the plain-DepthTiles variant."""
+    n = ray_pos.shape[0]
+    pad = (-n) % _LANES_PER_BLOCK
+    if pad:
+        ray_pos = jnp.pad(ray_pos, ((0, pad), (0, 0)))
+        ray_dir = jnp.pad(ray_dir, ((0, pad), (0, 0)))
+        dither = jnp.pad(dither, (0, pad))
+        large_step = jnp.pad(large_step, (0, pad))
+        alive = jnp.pad(alive, (0, pad))
+        is_back = jnp.pad(is_back, (0, pad))
+    np_ = n + pad
+    nb = np_ // _LANES_PER_BLOCK
+    rows = np_ // 128
+
+    def r128(x):
+        return x.reshape(rows, 128)
+
+    ins = [
+        r128(ray_pos[:, 0]), r128(ray_pos[:, 1]), r128(ray_pos[:, 2]),
+        r128(ray_dir[:, 0]), r128(ray_dir[:, 1]), r128(ray_dir[:, 2]),
+        r128(dither), r128(large_step),
+        r128(alive.astype(jnp.float32)), r128(is_back.astype(jnp.float32)),
+    ]
+
+    texel_x, texel_y = 1.0 / gw, 1.0 / gh
+    th_cap = float(
+        __import__("math").ceil(
+            40.0 * marching_thickness * (1.0 + thickness_growth * s_max)
+        )
+    )
+
+    def kern(s_ref, tab_ref, *refs):
+        in_refs = refs[: len(ins)]
+        o_cum, o_scode, o_hist, o_cnt = refs[len(ins):]
+        px = in_refs[0][:]
+        py = in_refs[1][:]
+        pz = in_refs[2][:]
+        dx = in_refs[3][:]
+        dy = in_refs[4][:]
+        dz = in_refs[5][:]
+        dth = in_refs[6][:]
+        lstep = in_refs[7][:]
+        marching = in_refs[8][:] > 0.5
+        backray = in_refs[9][:] > 0.5
+
+        m = [s_ref[0, i] for i in range(16)]  # view_proj row-major
+        zz = s_ref[0, 16]
+        zw = s_ref[0, 17]
+
+        def project(cx, cy, cz):
+            """world -> (u, v, raw_z) exactly as camera.world_to_ndc."""
+            clipx = cx * m[0] + cy * m[1] + cz * m[2] + m[3]
+            clipy = cx * m[4] + cy * m[5] + cz * m[6] + m[7]
+            clipz = cx * m[8] + cy * m[9] + cz * m[10] + m[11]
+            w = cx * m[12] + cy * m[13] + cz * m[14] + m[15]
+            w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+            return clipx / w * 0.5 + 0.5, clipy / w * 0.5 + 0.5, clipz / w
+
+        shape = px.shape
+        u0, v0, _ = project(px, py, pz)
+        last_u, last_v = u0, v0
+        step = jnp.full(shape, small_step_size, jnp.float32)
+        th = jnp.full(shape, marching_thickness, jnp.float32)
+        cum = jnp.zeros(shape, jnp.float32)
+        lcum = jnp.zeros(shape, jnp.float32)
+        lhd = jnp.zeros(shape, jnp.float32)
+        pidx = jnp.full(shape, -1.0, jnp.float32)
+        run = jnp.zeros(shape, jnp.int32)
+        slots_cum = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
+        slots_scode = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
+        slots_hist = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
+
+        q40 = lambda x, mx: jnp.clip(jnp.round(x * 40.0), 0.0, mx)  # noqa: E731
+
+        for i in range(1, s_max + 1):
+            if i == max_small_step + 1:
+                step = jnp.full(shape, medium_step_size, jnp.float32)
+                th = jnp.full(shape, marching_thickness, jnp.float32)
+            if i == max_medium_step + 1:
+                step = lstep
+                th = jnp.full(shape, marching_thickness, jnp.float32)
+
+            adv = step + step * dth
+            cum = cum + adv
+            # Positions accumulate iteratively (pos += adv*dir), exactly
+            # as the unfused phase 1 — recomputing ray_pos + cum*dir
+            # rounds differently and flips window-edge candidates.
+            px = px + adv * dx
+            py = py + adv * dy
+            pz = pz + adv * dz
+            u, v, raw = project(px, py, pz)
+
+            skip = (
+                (jnp.abs(u - last_u) < texel_x)
+                & (jnp.abs(v - last_v) < texel_y)
+            ) if i <= max_medium_step else jnp.zeros(shape, bool)
+            in_screen = (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
+            exit_now = marching & ~skip & ~in_screen
+            proc = marching & ~skip & in_screen
+
+            ix = jnp.clip(
+                jnp.floor(u * gw).astype(jnp.int32), 0, gw - 1
+            )
+            iy = jnp.clip(
+                jnp.floor(v * gh).astype(jnp.int32), 0, gh - 1
+            )
+            hitd = 1.0 / (raw * zz + zw)
+
+            mini = (iy // (TILE_H * MINI_TY)) * minis_x + ix // (
+                TILE_W * MINI_TX
+            )
+            word = jnp.zeros(shape, jnp.float32)
+            mlow = mini & 127
+            mchunk = mini >> 7
+            for c in range(n_chunks):
+                chunk = jnp.broadcast_to(tab_ref[c : c + 1, :], shape)
+                g = jnp.take_along_axis(chunk, mlow, axis=1)
+                word = g if n_chunks == 1 else jnp.where(mchunk == c, g, word)
+            mmin, mmax = _unpack_minmax_vec(word)
+
+            cand = proc & (hitd >= mmin) & ((hitd - th <= mmax) | backray)
+
+            scode = (
+                float(i - 1)
+                + 65.0 * (pidx + 1.0)
+                + q40(th, th_cap) * 8192.0
+            )
+            hist = q40(lcum, 4095.0) * 4096.0 + q40(lhd, 4095.0)
+            for j in range(k):
+                mj = cand & (run == j)
+                slots_cum[j] = jnp.where(mj, cum, slots_cum[j])
+                slots_scode[j] = jnp.where(mj, scode, slots_scode[j])
+                slots_hist[j] = jnp.where(mj, hist, slots_hist[j])
+            run = run + cand.astype(jnp.int32)
+
+            step = jnp.where(proc, step + step * step_growth, step)
+            th = jnp.where(
+                proc, th + marching_thickness * thickness_growth, th
+            )
+            last_u = jnp.where(proc, u, last_u)
+            last_v = jnp.where(proc, v, last_v)
+            lcum = jnp.where(proc, cum, lcum)
+            lhd = jnp.where(proc, hitd, lhd)
+            pidx = jnp.where(proc, float(i - 1), pidx)
+            marching = marching & ~exit_now
+
+        for j in range(k):
+            o_cum[0, j] = slots_cum[j]
+            o_scode[0, j] = slots_scode[j]
+            o_hist[0, j] = slots_hist[j]
+        o_cnt[0, 0] = jnp.minimum(run, k)
+
+    lane_block = pl.BlockSpec(
+        (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec(
+        (1, k, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    cnt_block = pl.BlockSpec(
+        (1, 1, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, k, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, k, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, k, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, 8, 128), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (n_chunks, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [lane_block] * len(ins),
+        out_specs=(out_block, out_block, out_block, cnt_block),
+        interpret=_use_interpret(),
+    )(scalars, mini_table, *ins)
+
+    pk = [
+        o.transpose(1, 0, 2, 3).reshape(k, np_)[:, :n] for o in outs[:3]
+    ]
+    n_cand = outs[3].reshape(np_)[:n]
+    return pk[0], pk[1], pk[2], n_cand
+
+
+_fused_schedule_pack_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "gh", "gw", "minis_x", "n_chunks", "s_max", "k",
+        "max_small_step", "max_medium_step", "small_step_size",
+        "medium_step_size", "marching_thickness", "step_growth",
+        "thickness_growth",
+    ),
+)(_fused_schedule_pack)
+
+
+def schedule_scalars(cam) -> jnp.ndarray:
+    """The (1, 18) SMEM operand: view_proj row-major + the
+    linear-eye-depth coefficients (camera.linear_eye_depth)."""
+    zz = 1.0 / cam.near - 1.0 / cam.far
+    zw = 1.0 / cam.far
+    vp = jnp.asarray(cam.view_proj, jnp.float32).reshape(16)
+    return jnp.concatenate(
+        [vp, jnp.asarray([zz, zw], jnp.float32)]
+    ).reshape(1, 18)

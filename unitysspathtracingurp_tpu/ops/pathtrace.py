@@ -650,9 +650,16 @@ def trace_frame(
     position_ws = world_from_uv_depth(cam.inv_view_proj, uv, primary_raw)
     view_dir = normalize(cam.position - position_ws)
 
-    rng = make_rng(h, w, frame_index, rng_tables, row0=row0)
+    rng = make_rng(
+        h, w, frame_index, rng_tables, row0=row0,
+        sobol_owen=variants.sobol_owen,
+    )
 
-    # Step-size dither (ref :390-401).
+    # Step-size dither (ref :390-401). The reference's
+    # _RAY_MARCHING_VERY_LOW double-range branch (:395-398) is dead
+    # code there — the keyword is never declared by any #pragma or
+    # enabled from C# (the material only carries _RAY_MARCHING_LOW) —
+    # so only the 0.2-range path is rebuilt (decided round 3).
     if settings.dithering:
         dv, rng = draw(rng)
         dither = (dv * 0.2 - 0.1) * settings.dither_intensity

@@ -75,11 +75,17 @@ from ..camera import (
 from ..gbuffer import uv_to_pixel
 from .depth_tiles import (
     DepthTiles,
+    DualDepthTiles,
     build_depth_tiles,
+    build_dual_depth_tiles,
     mini_of,
     pair_of,
+    tile_of,
+    unpack_dual,
+    unpack_f16_low,
     unpack_minmax,
     unpack_pair_half,
+    variant_combos,
 )
 from .pallas_gather import broadcast_table_select, pack_by_slot, row_gather
 from .pathtrace import REAL_EPS, MarchResult, trace_frame
@@ -113,11 +119,30 @@ def ray_march_hiz(
     n_rounds: int | None = None,
     _debug_out: dict | None = None,
 ) -> MarchResult:
-    """Wavefront rebuild of RayMarching (PathTracing.hlsl:7-254) for the
-    no-backface / no-refraction variant. Same signature as
-    pathtrace.ray_march plus the depth-tile structure."""
-    assert not variants.backface_textures, "hiz path: backface falls back to parity"
-    assert not variants.support_refraction, "hiz path: refraction falls back to parity"
+    """Wavefront rebuild of RayMarching (PathTracing.hlsl:7-254). Same
+    signature as pathtrace.ray_march plus the depth-tile structure.
+
+    With plain ``DepthTiles`` this is the no-backface / no-refraction
+    fast path. With ``DualDepthTiles`` it covers the refraction and
+    backface (DepthNormals) variants too: the per-lane insideObject
+    state (constant within one march) selects a (test, back) layer
+    combo row, the backface hit window (hlsl:168-181) and binary-search
+    start rules (hlsl:138-163) are evaluated per candidate from the
+    dual-packed texel word, and search-class hits finalize at the
+    interpolated crossing (budget-checked halvings, same emulation the
+    plain path applies to back rays)."""
+    dual = isinstance(tiles, DualDepthTiles)
+    if not dual:
+        assert not variants.backface_textures, (
+            "hiz path: backface needs DualDepthTiles"
+        )
+        assert not variants.support_refraction, (
+            "hiz path: refraction needs DualDepthTiles"
+        )
+    # Refraction without backface textures has no back layer anywhere:
+    # the reference zeroes sceneBackDepth, so front rays can never
+    # start the binary search (cannotBinarySearch, hlsl:149-156).
+    has_back = dual and variants.backface_textures
 
     if _debug_out is not None:
         # Multi-bounce probes: namespace this call's stats.
@@ -146,143 +171,234 @@ def ray_march_hiz(
     # crossing position, with no thickness lower bound.
     is_back_ray = jnp.sum(ray_dir * view_dir, -1) > 0.0
 
-    # ---- Phase 1: dense schedule build (rebuilds the parity body minus
-    # all depth reads; valid up to each lane's first hit).
-    ndc0 = world_to_ndc(vp, ray_pos)
-    last_u, last_v = ndc0[..., 0], ndc0[..., 1]
-    step = jnp.full((h, w), cfg.small_step_size, jnp.float32)
-    th = jnp.full((h, w), cfg.marching_thickness, jnp.float32)
-    cumdist = jnp.zeros((h, w), jnp.float32)
-    last_cumdist = jnp.zeros((h, w), jnp.float32)
-    last_hit_depth = jnp.zeros((h, w), jnp.float32)
-    marching = alive
-    pos = ray_pos
-
-    prev_idx = jnp.full((h, w), -1, jnp.int32)  # last processed step index
-    ixy_l, hitd_l, th_l, cum_l, lcum_l, lhd_l, proc_l, pidx_l = (
-        [], [], [], [], [], [], [], []
-    )
-    for i in range(1, s_max + 1):
-        at_medium = i == cfg.max_small_step + 1
-        at_large = i == cfg.max_medium_step + 1
-        if at_medium:
-            step = jnp.full_like(step, cfg.medium_step_size)
-            th = jnp.full_like(th, cfg.marching_thickness)
-        if at_large:
-            step = large_step
-            th = jnp.full_like(th, cfg.marching_thickness)
-
-        adv = step + step * dither
-        pos = pos + adv[..., None] * ray_dir
-        cumdist = cumdist + adv
-        ndc = world_to_ndc(vp, pos)
-        u, v, raw_z = ndc[..., 0], ndc[..., 1], ndc[..., 2]
-
-        skip = (
-            (i <= cfg.max_medium_step)
-            & (jnp.abs(u - last_u) < texel_x)
-            & (jnp.abs(v - last_v) < texel_y)
-        )
-        in_screen = (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
-        exit_now = marching & ~skip & ~in_screen
-        proc = marching & ~skip & in_screen
-
-        iy, ix = uv_to_pixel(jnp.stack([u, v], -1), gh, gw)
-        hit_depth = lin(raw_z)
-
-        ixy_l.append(iy * gw + ix)
-        hitd_l.append(hit_depth)
-        th_l.append(th)
-        cum_l.append(cumdist)
-        lcum_l.append(last_cumdist)
-        lhd_l.append(last_hit_depth)
-        proc_l.append(proc)
-        pidx_l.append(prev_idx)
-
-        # Post-test updates for the next step (ref :239-251), assuming
-        # no hit at this step (positions past the first hit are unused).
-        step = jnp.where(proc, step + step * cfg.step_growth, step)
-        th = jnp.where(
-            proc, th + cfg.marching_thickness * cfg.thickness_growth, th
-        )
-        last_u = jnp.where(proc, u, last_u)
-        last_v = jnp.where(proc, v, last_v)
-        last_cumdist = jnp.where(proc, cumdist, last_cumdist)
-        last_hit_depth = jnp.where(proc, hit_depth, last_hit_depth)
-        prev_idx = jnp.where(proc, i - 1, prev_idx)  # 0-based step index
-        marching = marching & ~exit_now
-
-    # (S, H, W) stacking: steps on the leading axis so the packing
-    # kernel reduces over sublanes with full lane utilization.
-    ixy_s = jnp.stack(ixy_l, 0)
-    hitd_s = jnp.stack(hitd_l, 0)
-    th_s = jnp.stack(th_l, 0)
-    cum_s = jnp.stack(cum_l, 0)
-    lcum_s = jnp.stack(lcum_l, 0)
-    lhd_s = jnp.stack(lhd_l, 0)
-    proc_s = jnp.stack(proc_l, 0)
-    pidx_s = jnp.stack(pidx_l, 0)
-
-    ix_s = ixy_s % gw
-    iy_s = ixy_s // gw
-
-    # ---- Phase 2: minitile interval filter (Pallas broadcast select,
-    # no memory fetch). A processed step is a candidate only if the
-    # tile-level depth interval of its 32x16-px minitile can intersect
-    # the reference hit window [hitd - th, hitd]
-    # (PathTracing.hlsl:168-190): scene(texel) must lie in that window,
-    # and mini_min <= scene(texel) <= mini_max for every texel there.
-    mini_s = mini_of(ix_s, iy_s, tiles)
-    packed = broadcast_table_select(tiles.mini_table, mini_s, tiles.n_mini_chunks)
-    mmin_s, mmax_s = unpack_minmax(packed)
-    cand_s = proc_s & (hitd_s >= mmin_s) & (
-        (hitd_s - th_s <= mmax_s) | is_back_ray[None]
-    )
-
-    # ---- Phase 3: pack the first K surviving candidates per lane
-    # (single-pass Pallas kernel). Rounds then run on per-lane scalars
-    # only — every (S, H, W) array dies here, which is what makes the
-    # resolve cheap (XLA bookkeeping on the step axis measured
-    # ~20 ms/round at 1080p).
+    # K candidate slots per lane; the fused front half needs it as a
+    # static kernel parameter.
     K = min(16, s_max)
-    n_lanes = h * w
-    iota_s = jnp.arange(s_max, dtype=jnp.float32)
-    # All candidate metadata quantized into integers exactly
-    # representable in f32 (the pack kernel sums masked f32):
-    #   scode = step + 65*(prev_idx+1) + round(40*thickness) * 8192
-    #   hist  = round(40*last_cumdist) * 4096 + round(40*last_hitdepth)
-    # 2.5 cm quantization on the interpolation endpoints and the
-    # thickness — small against the >= 0.4 m hit window. The thickness
-    # clamp is derived from the worst-case growth at s_max steps
-    # (th <= base*(1 + growth*s_max), e.g. 6.8 m at 64 steps) so no
-    # validated configuration saturates it; worst-case scode stays
-    # < 2^24 (exact in f32). last_cumdist/last_hitdepth saturate at
-    # 4095/40 ≈ 102.4 m — marches beyond that get clamped interpolation
-    # ENDPOINTS only (the hit test itself is exact); documented as a
-    # quality-gated deviation in the module docstring.
-    q40 = lambda x, m: jnp.clip(jnp.round(x * 40.0), 0, m)  # noqa: E731
-    th_cap = float(
-        math.ceil(
-            40.0 * cfg.marching_thickness * (1.0 + cfg.thickness_growth * s_max)
+    # Fused front half (ops/fused_schedule.py): schedule build + minitile
+    # filter + candidate packing in one Pallas kernel, bit-identical to
+    # the unfused phases below (gated by tests/test_fused_schedule.py).
+    # Plain-tiles variant only; _debug_out instrumentation and the dual
+    # variants keep the unfused path.
+    fused = cfg.fused_schedule
+    if fused is None:  # auto: see PTConfig.fused_schedule
+        fused = jax.default_backend() == "tpu"
+    use_fused = fused and not dual and _debug_out is None
+    if use_fused:
+        from .fused_schedule import fused_schedule_pack, schedule_scalars
+
+        pk_cum, pk_scode, pk_hist, n_cand_f = fused_schedule_pack(
+            ray_pos.reshape(-1, 3),
+            ray_dir.reshape(-1, 3),
+            jnp.broadcast_to(dither, (h, w)).reshape(-1),
+            jnp.broadcast_to(large_step, (h, w)).reshape(-1),
+            alive.reshape(-1),
+            is_back_ray.reshape(-1),
+            tiles.mini_table,
+            schedule_scalars(cam),
+            gh=gh,
+            gw=gw,
+            minis_x=tiles.minis_x,
+            n_chunks=tiles.n_mini_chunks,
+            s_max=s_max,
+            k=K,
+            max_small_step=cfg.max_small_step,
+            max_medium_step=cfg.max_medium_step,
+            small_step_size=cfg.small_step_size,
+            medium_step_size=cfg.medium_step_size,
+            marching_thickness=cfg.marching_thickness,
+            step_growth=cfg.step_growth,
+            thickness_growth=cfg.thickness_growth,
         )
-    )
-    assert 8192.0 * (th_cap + 1.0) + 65.0 * 65.0 + 64.0 < 2.0**24
-    scode_s = (
-        jnp.broadcast_to(iota_s[:, None, None], th_s.shape)
-        + 65.0 * (pidx_s.astype(jnp.float32) + 1.0)
-        + q40(th_s, th_cap) * 8192.0
-    )
-    hist_s = q40(lcum_s, 4095.0) * 4096.0 + q40(lhd_s, 4095.0)
-    (pk_cum, pk_scode, pk_hist), n_cand = pack_by_slot(
-        cand_s.reshape(s_max, n_lanes),
-        [
+        n_cand = n_cand_f.reshape(h, w)
+        pk_step = None
+    else:
+        # ---- Phase 1: dense schedule build (rebuilds the parity body minus
+        # all depth reads; valid up to each lane's first hit).
+        ndc0 = world_to_ndc(vp, ray_pos)
+        last_u, last_v = ndc0[..., 0], ndc0[..., 1]
+        step = jnp.full((h, w), cfg.small_step_size, jnp.float32)
+        th = jnp.full((h, w), cfg.marching_thickness, jnp.float32)
+        cumdist = jnp.zeros((h, w), jnp.float32)
+        last_cumdist = jnp.zeros((h, w), jnp.float32)
+        last_hit_depth = jnp.zeros((h, w), jnp.float32)
+        marching = alive
+        pos = ray_pos
+
+        prev_idx = jnp.full((h, w), -1, jnp.int32)  # last processed step index
+        ixy_l, hitd_l, th_l, cum_l, lcum_l, lhd_l, proc_l, pidx_l = (
+            [], [], [], [], [], [], [], []
+        )
+        step_l = []  # dual only: the hit-rule step (hlsl:182) per schedule step
+        for i in range(1, s_max + 1):
+            at_medium = i == cfg.max_small_step + 1
+            at_large = i == cfg.max_medium_step + 1
+            if at_medium:
+                step = jnp.full_like(step, cfg.medium_step_size)
+                th = jnp.full_like(th, cfg.marching_thickness)
+            if at_large:
+                step = large_step
+                th = jnp.full_like(th, cfg.marching_thickness)
+
+            adv = step + step * dither
+            pos = pos + adv[..., None] * ray_dir
+            cumdist = cumdist + adv
+            ndc = world_to_ndc(vp, pos)
+            u, v, raw_z = ndc[..., 0], ndc[..., 1], ndc[..., 2]
+
+            skip = (
+                (i <= cfg.max_medium_step)
+                & (jnp.abs(u - last_u) < texel_x)
+                & (jnp.abs(v - last_v) < texel_y)
+            )
+            in_screen = (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
+            exit_now = marching & ~skip & ~in_screen
+            proc = marching & ~skip & in_screen
+
+            iy, ix = uv_to_pixel(jnp.stack([u, v], -1), gh, gw)
+            hit_depth = lin(raw_z)
+
+            ixy_l.append(iy * gw + ix)
+            hitd_l.append(hit_depth)
+            th_l.append(th)
+            cum_l.append(cumdist)
+            lcum_l.append(last_cumdist)
+            lhd_l.append(last_hit_depth)
+            proc_l.append(proc)
+            pidx_l.append(prev_idx)
+            if dual:
+                step_l.append(step)
+
+            # Post-test updates for the next step (ref :239-251), assuming
+            # no hit at this step (positions past the first hit are unused).
+            step = jnp.where(proc, step + step * cfg.step_growth, step)
+            th = jnp.where(
+                proc, th + cfg.marching_thickness * cfg.thickness_growth, th
+            )
+            last_u = jnp.where(proc, u, last_u)
+            last_v = jnp.where(proc, v, last_v)
+            last_cumdist = jnp.where(proc, cumdist, last_cumdist)
+            last_hit_depth = jnp.where(proc, hit_depth, last_hit_depth)
+            prev_idx = jnp.where(proc, i - 1, prev_idx)  # 0-based step index
+            marching = marching & ~exit_now
+
+        # (S, H, W) stacking: steps on the leading axis so the packing
+        # kernel reduces over sublanes with full lane utilization.
+        ixy_s = jnp.stack(ixy_l, 0)
+        hitd_s = jnp.stack(hitd_l, 0)
+        th_s = jnp.stack(th_l, 0)
+        cum_s = jnp.stack(cum_l, 0)
+        lcum_s = jnp.stack(lcum_l, 0)
+        lhd_s = jnp.stack(lhd_l, 0)
+        proc_s = jnp.stack(proc_l, 0)
+        pidx_s = jnp.stack(pidx_l, 0)
+
+        ix_s = ixy_s % gw
+        iy_s = ixy_s // gw
+
+        # ---- Phase 2: minitile interval filter (Pallas broadcast select,
+        # no memory fetch). A processed step is a candidate only if the
+        # tile-level depth interval of its 32x16-px minitile can intersect
+        # the reference hit window [hitd - th, hitd]
+        # (PathTracing.hlsl:168-190): scene(texel) must lie in that window,
+        # and mini_min <= scene(texel) <= mini_max for every texel there.
+        if dual:
+            # Per-lane (test, back) layer combo from the insideObject state
+            # (hlsl:79-98); constant within one march call.
+            if tiles.n_combos == 1:
+                combo = jnp.zeros((h, w), jnp.int32)
+            elif tiles.n_combos == 2:
+                combo = (inside != 0.0).astype(jnp.int32)
+            else:
+                combo = jnp.clip(inside.astype(jnp.int32), 0, 2)
+            # Lanes that may run the reference's binary search regardless of
+            # per-texel back data: back rays (crossing emulation) and
+            # exiting-refraction lanes (inside==2 never blocks the search,
+            # hlsl:149 insideObject != 2 test).
+            search_lane = is_back_ray
+            if variants.support_refraction:
+                search_lane = search_lane | (inside == 2.0)
+            mini_off = combo * (tiles.chunks_per_combo * 128)
+            mini_s = mini_of(ix_s, iy_s, tiles) + mini_off[None]
+            packed = broadcast_table_select(
+                tiles.mini_table, mini_s, tiles.n_mini_chunks
+            )
+            mmin_s, umax_s = unpack_minmax(packed)
+            bmax_s = unpack_f16_low(
+                broadcast_table_select(tiles.bmax_table, mini_s, tiles.n_mini_chunks)
+            )
+            # Conservative candidate rule: the backed hit window extends to
+            # max(back, test) + step (hlsl:176-181), the plain window to
+            # test + th; front rays below a valid back surface may start
+            # the binary search (hlsl:149-156) and converge to a crossing.
+            step_sched = jnp.stack(step_l, 0)
+            margin_s = jnp.maximum(th_s, step_sched)
+            cand_s = proc_s & (hitd_s >= mmin_s) & (
+                (hitd_s - margin_s <= umax_s)
+                | search_lane[None]
+                | (hitd_s <= bmax_s)
+            )
+        else:
+            mini_s = mini_of(ix_s, iy_s, tiles)
+            packed = broadcast_table_select(
+                tiles.mini_table, mini_s, tiles.n_mini_chunks
+            )
+            mmin_s, mmax_s = unpack_minmax(packed)
+            cand_s = proc_s & (hitd_s >= mmin_s) & (
+                (hitd_s - th_s <= mmax_s) | is_back_ray[None]
+            )
+
+        # ---- Phase 3: pack the first K surviving candidates per lane
+        # (single-pass Pallas kernel). Rounds then run on per-lane scalars
+        # only — every (S, H, W) array dies here, which is what makes the
+        # resolve cheap (XLA bookkeeping on the step axis measured
+        # ~20 ms/round at 1080p).
+        n_lanes = h * w
+        iota_s = jnp.arange(s_max, dtype=jnp.float32)
+        # All candidate metadata quantized into integers exactly
+        # representable in f32 (the pack kernel sums masked f32):
+        #   scode = step + 65*(prev_idx+1) + round(40*thickness) * 8192
+        #   hist  = round(40*last_cumdist) * 4096 + round(40*last_hitdepth)
+        # 2.5 cm quantization on the interpolation endpoints and the
+        # thickness — small against the >= 0.4 m hit window. The thickness
+        # clamp is derived from the worst-case growth at s_max steps
+        # (th <= base*(1 + growth*s_max), e.g. 6.8 m at 64 steps) so no
+        # validated configuration saturates it; worst-case scode stays
+        # < 2^24 (exact in f32). last_cumdist/last_hitdepth saturate at
+        # 4095/40 ≈ 102.4 m — marches beyond that get clamped interpolation
+        # ENDPOINTS only (the hit test itself is exact); documented as a
+        # quality-gated deviation in the module docstring.
+        q40 = lambda x, m: jnp.clip(jnp.round(x * 40.0), 0, m)  # noqa: E731
+        th_cap = float(
+            math.ceil(
+                40.0 * cfg.marching_thickness * (1.0 + cfg.thickness_growth * s_max)
+            )
+        )
+        assert 8192.0 * (th_cap + 1.0) + 65.0 * 65.0 + 64.0 < 2.0**24
+        scode_s = (
+            jnp.broadcast_to(iota_s[:, None, None], th_s.shape)
+            + 65.0 * (pidx_s.astype(jnp.float32) + 1.0)
+            + q40(th_s, th_cap) * 8192.0
+        )
+        hist_s = q40(lcum_s, 4095.0) * 4096.0 + q40(lhd_s, 4095.0)
+        fields = [
             cum_s.reshape(s_max, n_lanes),
             scode_s.reshape(s_max, n_lanes),
             hist_s.reshape(s_max, n_lanes),
-        ],
-        K,
-    )
-    n_cand = n_cand.reshape(h, w)
+        ]
+        if dual:
+            # Backed hit window upper bound needs the step size (hlsl:181);
+            # quantized like the interpolation endpoints (2.5 cm, saturating
+            # at ~102.4 m — beyond that the backed window is conservative-
+            # narrow, same deviation class as the endpoint clamp).
+            fields.append(q40(step_sched, 4095.0).reshape(s_max, n_lanes))
+        packed_fields, n_cand = pack_by_slot(
+            cand_s.reshape(s_max, n_lanes), fields, K
+        )
+        pk_cum, pk_scode, pk_hist = packed_fields[:3]
+        pk_step = packed_fields[3] if dual else None
+        n_cand = n_cand.reshape(h, w)
+        if _debug_out is not None:
+            _debug_out[_pfx + "pk"] = (pk_cum, pk_scode, pk_hist)
     k_iota = jnp.arange(K, dtype=jnp.int32)
 
     if _debug_out is not None:
@@ -297,30 +413,40 @@ def ray_march_hiz(
         )
         # Start-window locality: fraction of candidates whose tile-pair
         # window equals the ray START texel's window (the cheap-fetch
-        # set for a pre-round against the home row).
-        iy0, ix0 = uv_to_pixel(ndc0[..., :2], gh, gw)
-        pair_start, _, _ = pair_of(ix0, iy0, tiles)
-        iy_s2 = ixy_s // gw
-        ix_s2 = ixy_s % gw
-        pair_c, _, _ = pair_of(ix_s2, iy_s2, tiles)
-        in_home = cand_s & (pair_c == pair_start[None])
-        _debug_out[_pfx + "cand_total"] = cand_s.sum(dtype=jnp.int32)
-        _debug_out[_pfx + "cand_in_home"] = in_home.sum(dtype=jnp.int32)
-        # Lanes whose FIRST candidate is in the home window (these
-        # leave the expensive scattered round-1 gather).
-        first_slot = jnp.argmax(cand_s, axis=0)
-        first_in_home = (
-            (n_cand.reshape(h, w) > 0)
-            & jnp.take_along_axis(in_home, first_slot[None], 0)[0]
-        )
-        _debug_out[_pfx + "first_in_home"] = first_in_home.sum(dtype=jnp.int32)
-        # Candidate spread around the home window (sizes the locality
-        # resolve kernel): |dy| in 8-px pair bands, |dx| in 32-px pairs.
-        dy_c = jnp.abs(pair_c // tiles.pairs_x - (pair_start // tiles.pairs_x)[None])
-        dx_c = jnp.abs(pair_c % tiles.pairs_x - (pair_start % tiles.pairs_x)[None])
-        for lim in (1, 2, 4, 8, 16):
-            within = cand_s & (dy_c <= lim) & (dx_c <= lim)
-            _debug_out[_pfx + f"cand_within_{lim}"] = within.sum(dtype=jnp.int32)
+        # set for a pre-round against the home row). Plain layout only.
+        if not dual:
+            iy0, ix0 = uv_to_pixel(ndc0[..., :2], gh, gw)
+            pair_start, _, _ = pair_of(ix0, iy0, tiles)
+            iy_s2 = ixy_s // gw
+            ix_s2 = ixy_s % gw
+            pair_c, _, _ = pair_of(ix_s2, iy_s2, tiles)
+            in_home = cand_s & (pair_c == pair_start[None])
+            _debug_out[_pfx + "cand_total"] = cand_s.sum(dtype=jnp.int32)
+            _debug_out[_pfx + "cand_in_home"] = in_home.sum(dtype=jnp.int32)
+            # Lanes whose FIRST candidate is in the home window (these
+            # leave the expensive scattered round-1 gather).
+            first_slot = jnp.argmax(cand_s, axis=0)
+            first_in_home = (
+                (n_cand.reshape(h, w) > 0)
+                & jnp.take_along_axis(in_home, first_slot[None], 0)[0]
+            )
+            _debug_out[_pfx + "first_in_home"] = first_in_home.sum(
+                dtype=jnp.int32
+            )
+            # Candidate spread around the home window (sizes the
+            # locality resolve kernel): |dy| in 8-px pair bands, |dx|
+            # in 32-px pairs.
+            dy_c = jnp.abs(
+                pair_c // tiles.pairs_x - (pair_start // tiles.pairs_x)[None]
+            )
+            dx_c = jnp.abs(
+                pair_c % tiles.pairs_x - (pair_start % tiles.pairs_x)[None]
+            )
+            for lim in (1, 2, 4, 8, 16):
+                within = cand_s & (dy_c <= lim) & (dx_c <= lim)
+                _debug_out[_pfx + f"cand_within_{lim}"] = within.sum(
+                    dtype=jnp.int32
+                )
         if _debug_out.get("_full"):  # (S,H,W) dumps: small shapes only
             _debug_out.update(
                 {
@@ -369,6 +495,20 @@ def ray_march_hiz(
         "hit_lcum", "hit_lhd", "hit_prev", "hit_ixy", "prev_diff",
         "prev_sidx",
     )
+    if dual:
+        st.update(
+            pk_step=pk_step,
+            combo=combo,
+            search_lane=search_lane,
+            # Signed diff (hlsl:133-136) drives the interpolation for
+            # back-search hits; equals d elsewhere.
+            hit_sd=z, prev_sd=z,
+            hit_back=jnp.zeros((h, w), bool),
+            hit_via_search=jnp.zeros((h, w), bool),
+        )
+        _OUT_KEYS = _OUT_KEYS + (
+            "hit_sd", "prev_sd", "hit_back", "hit_via_search",
+        )
 
     def run_rounds(st, rounds, round_base):
         """``rounds`` resolve rounds over state dict ``st`` (any lane
@@ -405,17 +545,31 @@ def ray_march_hiz(
                 ndc = world_to_ndc(vp, pos)
                 hitd = lin(ndc[..., 2])
                 iy, ix = uv_to_pixel(ndc[..., :2], gh, gw)
-                pair, texel, high = pair_of(ix, iy, tiles)
-                links.append(dict(
+                link = dict(
                     cd=cd, th=th_c, s_idx=s_idx, p_idx=p_idx,
                     lcum=hist_lcum, lhd=hist_lhd, hitd=hitd,
-                    pair=pair, texel=texel, high=high, ixy=iy * gw + ix,
-                ))
+                    ixy=iy * gw + ix,
+                )
+                if dual:
+                    row, texel = tile_of(ix, iy, tiles)
+                    link.update(
+                        pair=row, texel=texel, step=exk(st["pk_step"]) * 0.025
+                    )
+                else:
+                    pair, texel, high = pair_of(ix, iy, tiles)
+                    link.update(pair=pair, texel=texel, high=high)
+                links.append(link)
 
             pair0 = links[0]["pair"]
-            blocks = row_gather(
-                tiles.pair_table, jnp.where(active, pair0, 0).reshape(-1)
-            ).reshape(lh, lw, 128)
+            if dual:
+                row0_g = pair0 + st["combo"] * tiles.tiles_per_combo
+                blocks = row_gather(
+                    tiles.tile_table, jnp.where(active, row0_g, 0).reshape(-1)
+                ).reshape(lh, lw, 128)
+            else:
+                blocks = row_gather(
+                    tiles.pair_table, jnp.where(active, pair0, 0).reshape(-1)
+                ).reshape(lh, lw, 128)
             # All chain links' texel words as adjacent one-hot mask-sums
             # over the same fetched blocks (XLA multi-output fusion
             # reads the blocks once). Integer sums: the words are f16
@@ -443,33 +597,95 @@ def ray_march_hiz(
                     # Later chain links resolve only from the already
                     # fetched 32x8-px window; leaving it ends the chain.
                     valid = valid & (lk["pair"] == pair0)
-                d_raw = unpack_pair_half(
-                    jax.lax.bitcast_convert_type(words[j], jnp.float32),
-                    lk["high"],
-                )
-                scene = lin(d_raw)
-                is_sky = d_raw == RAW_FAR_CLIP
-                d = scene - lk["hitd"]
-                # Back-ray crossings emulate the reference's binary
-                # search (PathTracing.hlsl:138-163): a crossing |d|
-                # beyond the window needs ~log2(|d|/th) halvings, each
-                # costing one loop step.
-                halvings = jnp.ceil(
-                    jnp.log2(jnp.maximum(-d / jnp.maximum(lk["th"], 1e-6), 1.0))
-                )
-                budget_ok = (
-                    (lk["s_idx"] + 1).astype(jnp.float32) + halvings
-                    <= float(s_max)
-                )
-                # No depth cap on crossings: capping at 2x thickness (to
-                # reject silhouette discontinuities the reference's
-                # search oscillates on) removed a +1.5% single-frame
-                # mean bias but WORSENED converged pooled RMSE at both
-                # 1 and 2 bounces (2.39->3.58% / 5.58->5.92% at 256²)
-                # by also rejecting genuine deep overshoots — the budget
-                # rule alone tracks the reference best overall.
-                in_window = (d >= -lk["th"]) | (st["is_back_ray"] & budget_ok)
-                hit_now = valid & (d <= 0.0) & in_window & ~is_sky
+                word_f = jax.lax.bitcast_convert_type(words[j], jnp.float32)
+                if dual:
+                    t_raw, b_raw = unpack_dual(word_f)
+                    scene = lin(t_raw)
+                    is_sky = t_raw == RAW_FAR_CLIP
+                    scene_back = lin(b_raw)
+                    back_ok = (b_raw != RAW_FAR_CLIP) & (scene_back >= scene)
+                    d = scene - lk["hitd"]
+                    # Signed diff (hlsl:127-136): back rays beyond a
+                    # valid back surface bracket that surface instead.
+                    is_bs = st["is_back_ray"] & (lk["hitd"] > scene_back) & back_ok
+                    back_diff = jnp.where(
+                        back_ok, lk["hitd"] - scene_back, d - lk["th"]
+                    )
+                    sd = jnp.where(is_bs, back_diff, d)
+                    # Hit windows (hlsl:168-181): the backed window runs
+                    # to max(back, test + step); plain is the thickness
+                    # window.
+                    hit_backed = (d <= 0.0) & (
+                        lk["hitd"]
+                        <= jnp.maximum(scene_back, scene + lk["step"])
+                    )
+                    hit_plain = (d <= 0.0) & (d >= -lk["th"])
+                    base_hit = jnp.where(back_ok, hit_backed, hit_plain)
+                    # Binary-search emulation (hlsl:138-163): search-
+                    # capable lanes hit any crossing reachable within
+                    # the remaining halving budget. Front rays can
+                    # search only below a valid back surface (and never
+                    # in the refraction-only variant, where the
+                    # reference zeroes sceneBackDepth).
+                    halvings = jnp.ceil(
+                        jnp.log2(
+                            jnp.maximum(-d / jnp.maximum(lk["th"], 1e-6), 1.0)
+                        )
+                    )
+                    budget_ok = (
+                        (lk["s_idx"] + 1).astype(jnp.float32) + halvings
+                        <= float(s_max)
+                    )
+                    search_ok = st["search_lane"]
+                    if has_back:
+                        search_ok = search_ok | (
+                            ~st["is_back_ray"] & back_ok
+                            & (lk["hitd"] <= scene_back)
+                        )
+                    hit_now = valid & ~is_sky & (
+                        base_hit | (search_ok & (d <= 0.0) & budget_ok)
+                    )
+                    back_hit_now = (
+                        hit_now & back_ok & (lk["hitd"] > scene_back)
+                        & (sd >= 0.0)
+                    )
+                    st["hit_sd"] = jnp.where(hit_now, sd, st["hit_sd"])
+                    st["hit_back"] = jnp.where(
+                        hit_now, back_hit_now, st["hit_back"]
+                    )
+                    st["hit_via_search"] = jnp.where(
+                        hit_now, ~base_hit, st["hit_via_search"]
+                    )
+                else:
+                    d_raw = unpack_pair_half(word_f, lk["high"])
+                    scene = lin(d_raw)
+                    is_sky = d_raw == RAW_FAR_CLIP
+                    d = scene - lk["hitd"]
+                    # Back-ray crossings emulate the reference's binary
+                    # search (PathTracing.hlsl:138-163): a crossing |d|
+                    # beyond the window needs ~log2(|d|/th) halvings,
+                    # each costing one loop step.
+                    halvings = jnp.ceil(
+                        jnp.log2(
+                            jnp.maximum(-d / jnp.maximum(lk["th"], 1e-6), 1.0)
+                        )
+                    )
+                    budget_ok = (
+                        (lk["s_idx"] + 1).astype(jnp.float32) + halvings
+                        <= float(s_max)
+                    )
+                    # No depth cap on crossings: capping at 2x thickness
+                    # (to reject silhouette discontinuities the
+                    # reference's search oscillates on) removed a +1.5%
+                    # single-frame mean bias but WORSENED converged
+                    # pooled RMSE at both 1 and 2 bounces
+                    # (2.39->3.58% / 5.58->5.92% at 256²) by also
+                    # rejecting genuine deep overshoots — the budget
+                    # rule alone tracks the reference best overall.
+                    in_window = (
+                        (d >= -lk["th"]) | (st["is_back_ray"] & budget_ok)
+                    )
+                    hit_now = valid & (d <= 0.0) & in_window & ~is_sky
 
                 st["hit_cum"] = jnp.where(hit_now, lk["cd"], st["hit_cum"])
                 st["hit_diff"] = jnp.where(hit_now, d, st["hit_diff"])
@@ -482,6 +698,8 @@ def ray_march_hiz(
                 fail = valid & ~hit_now
                 st["prev_diff"] = jnp.where(fail, d, st["prev_diff"])
                 st["prev_sidx"] = jnp.where(fail, lk["s_idx"], st["prev_sidx"])
+                if dual:
+                    st["prev_sd"] = jnp.where(fail, sd, st["prev_sd"])
                 adv = jnp.where(fail, adv + 1, adv)
                 st["hit"] = st["hit"] | hit_now
                 chain_on = fail
@@ -519,7 +737,9 @@ def ray_march_hiz(
             )
             if _debug_out is not None:
                 _debug_out[f"{_pfx}round_compact_drop"] = n_drop
-            pk_keys = ("pk_cum", "pk_scode", "pk_hist")
+            pk_keys = ("pk_cum", "pk_scode", "pk_hist") + (
+                ("pk_step",) if dual else ()
+            )
             keys = [k for k in st.keys() if k not in pk_keys]
             gathered = _gather_lane_state(
                 [st[k].reshape((n_lanes,) + st[k].shape[2:]) for k in keys], idx
@@ -560,13 +780,18 @@ def ray_march_hiz(
     # the previous texel's (locally-flat-surface approximation).
     scene_at_hit = hit_diff + hit_hitd
     prev_exact = prev_sidx == hit_prev
+    # The reference lerps on the *signed* diff (back_diff for back-
+    # search hits, hlsl:199-203); identical to hit_diff outside the
+    # dual backface variant.
+    sd_hit = st["hit_sd"] if dual else hit_diff
+    sd_prev = st["prev_sd"] if dual else prev_diff
     last_diff = jnp.where(
-        prev_exact & (hit_prev >= 0), prev_diff, scene_at_hit - hit_lhd
+        prev_exact & (hit_prev >= 0), sd_prev, scene_at_hit - hit_lhd
     )
-    sgn = jnp.where(hit_diff >= 0.0, 1.0, -1.0)
+    sgn = jnp.where(sd_hit >= 0.0, 1.0, -1.0)
     lsgn = jnp.where(last_diff >= 0.0, 1.0, -1.0)
     use_lerp = sgn != lsgn
-    denom = last_diff - hit_diff
+    denom = last_diff - sd_hit
     denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
     t = last_diff / denom
     lerp_cum = hit_lcum + (hit_cum - hit_lcum) * t
@@ -580,10 +805,13 @@ def ray_march_hiz(
         ],
         -1,
     )
-    # Back-ray crossing hits beyond the thickness window: the reference's
+    # Search-class hits beyond the base hit windows: the reference's
     # binary search would have converged near the crossing point, so the
     # surface is decoded there rather than at the overshot step texel.
-    crossed_out = is_back_ray & (hit_diff < -hit_th)
+    if dual:
+        crossed_out = st["hit_via_search"]
+    else:
+        crossed_out = is_back_ray & (hit_diff < -hit_th)
     cross_uv = world_to_ndc(vp, hit_pos)[..., :2]
     hit_uv = jnp.where(crossed_out[..., None], cross_uv, hit_uv)
     return MarchResult(
@@ -591,14 +819,26 @@ def ray_march_hiz(
         position=jnp.where(hit[..., None], hit_pos, 0.0),
         distance=jnp.where(hit, hit_cum, REAL_EPS),
         uv=jnp.where(hit[..., None], hit_uv, 0.0),
-        is_back_hit=jnp.zeros_like(hit),
+        is_back_hit=st["hit_back"] if dual else jnp.zeros_like(hit),
     )
 
 
 def hiz_supported(variants) -> bool:
-    """True when the wavefront march covers this variant set (the
-    backface/refraction variants fall back to the parity march)."""
-    return not (variants.backface_textures or variants.support_refraction)
+    """True when the wavefront march covers this variant set. Since
+    round 3 that is every variant: refraction/backface configs march
+    against DualDepthTiles (per-combo dual-layer tables)."""
+    return True
+
+
+def build_tiles_for(gb, cam, variants):
+    """The depth structure the hiz march needs for this variant set:
+    plain pair tables for the no-backface/no-refraction fast path,
+    per-combo dual-layer tables otherwise."""
+    if not (variants.backface_textures or variants.support_refraction):
+        return build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
+    return build_dual_depth_tiles(
+        variant_combos(gb, variants), cam.near, cam.far, gb.height, gb.width
+    )
 
 
 def trace_frame_hiz(
@@ -619,8 +859,8 @@ def trace_frame_hiz(
     _debug_out: dict | None = None,
 ):
     """Pass 0 with the fast hierarchical march (drop-in for
-    pathtrace.trace_frame on the no-backface/no-refraction variants;
-    other variants fall back to the parity march).
+    pathtrace.trace_frame on every variant set: refraction/backface
+    configs march against per-combo dual-layer tables).
 
     ``tiles`` may be passed prebuilt when the depth buffer is unchanged
     across frames (static-camera offline accumulation re-renders the
@@ -629,15 +869,8 @@ def trace_frame_hiz(
     ``row0``/``lane_height`` trace a row band against the full-frame
     depth structures (the multi-chip tile-sharding hook, same contract
     as pathtrace.trace_frame)."""
-    if not hiz_supported(variants):
-        return trace_frame(
-            gb, cam, probes, settings, cfg, variants, frame_index,
-            history_sample=history_sample, rng_tables=rng_tables,
-            back_depth_enabled=back_depth_enabled,
-            row0=row0, lane_height=lane_height,
-        )
     if tiles is None:
-        tiles = build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
+        tiles = build_tiles_for(gb, cam, variants)
     march_fn = partial(
         ray_march_hiz, tiles=tiles, n_rounds=n_rounds, _debug_out=_debug_out
     )

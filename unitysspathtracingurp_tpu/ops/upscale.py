@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .envprobe import sample_bilinear
+from ..utils.profiling import PASS_UPSCALE, named_pass
 
 
 def bilinear_upscale(image: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
@@ -57,6 +58,7 @@ def rcas_sharpen(image: jnp.ndarray, sharpness: float = 0.8) -> jnp.ndarray:
     )
 
 
+@named_pass(PASS_UPSCALE)
 def easu_like_upscale(
     image: jnp.ndarray, out_h: int, out_w: int, sharpness: float = 0.8
 ) -> jnp.ndarray:

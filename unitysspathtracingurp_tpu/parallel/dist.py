@@ -110,11 +110,11 @@ def _dispatch_trace(
     )
 
 
-def _prep_tiles(gb, cam, use_hiz, tiles):
+def _prep_tiles(gb, cam, use_hiz, tiles, variants):
     if use_hiz and tiles is None:
-        from ..ops.depth_tiles import build_depth_tiles
+        from ..ops.pathtrace_hiz import build_tiles_for
 
-        tiles = build_depth_tiles(gb.layer1_depth(), cam.near, cam.far)
+        tiles = build_tiles_for(gb, cam, variants)
     return tiles
 
 
@@ -143,7 +143,7 @@ def trace_frame_sharded(
     if height % n_tile:
         raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
     block_h = height // n_tile
-    tiles = _prep_tiles(gb, cam, use_hiz, tiles)
+    tiles = _prep_tiles(gb, cam, use_hiz, tiles, variants)
 
     # Per-spp-shard decorrelated frame seeds: stride the frame counter so
     # streams never collide (33 is the reference's per-frame stride).
@@ -243,7 +243,7 @@ def realtime_step_sharded(
         raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
     bh = height // n_tile
     halo = min(ATROUS_HALO, bh)
-    tiles = _prep_tiles(gb, cam, use_hiz, tiles)
+    tiles = _prep_tiles(gb, cam, use_hiz, tiles, variants)
 
     seeds = (
         jnp.asarray(frame_index, jnp.uint32)

@@ -19,6 +19,11 @@ PASS_ACCUMULATION = "Path Tracing Accumulation"
 PASS_BACKFACE = "Path Tracing Backface Data"
 PASS_TRANSPARENT = "Path Tracing Transparent GBuffer"
 PASS_FORWARD = "Path Tracing Forward GBuffer"
+# Sub-passes of the accumulation shader (distinct blits in the
+# reference; distinct jitted stages here).
+PASS_OFFLINE_ACCUM = "Path Tracing Offline Accumulation"
+PASS_DENOISE = "Path Tracing Denoising"
+PASS_UPSCALE = "Path Tracing Upscale"
 
 
 def named_pass(name: str):
