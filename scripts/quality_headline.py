@@ -66,7 +66,12 @@ def worker(kernel: str, frames: int, out_path: str) -> None:
     )
     # The exact headline bench config (bench.py): BoxScene-tuned
     # compaction caps; hiz additionally prebuilds the static tiles.
-    cfg = PTConfig(compaction_caps=(1.0, 0.5, 0.3125, 0.25))
+    # --unfused forces the XLA front half (r3 diagnosis: isolate the
+    # fused Pallas kernel's contribution to the converged deviation).
+    cfg = PTConfig(
+        compaction_caps=(1.0, 0.5, 0.3125, 0.25),
+        fused_schedule=False if "--unfused" in sys.argv else None,
+    )
     variants = settings.variants()
 
     if kernel == "hiz":

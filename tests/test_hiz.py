@@ -48,6 +48,21 @@ def test_rowwise_select_matches_numpy():
     np.testing.assert_allclose(got, want)
 
 
+def test_rowwise_select_u32_bit_exact():
+    """u32 blocks (f16-pair bit patterns incl. NaN payloads) must move
+    bit-exactly — the resolve round's texel-word select on TPU."""
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 2**32, size=(512, 128), dtype=np.uint64).astype(
+        np.uint32
+    )
+    # Force some NaN-pattern f16 halves (0x7e01 = signaling-NaN payload).
+    blocks[::7, ::5] = 0x7E017C01
+    idx = rng.integers(0, 128, size=(512, 4)).astype(np.int32)
+    got = np.asarray(rowwise_select(jnp.asarray(blocks), jnp.asarray(idx)))
+    want = np.take_along_axis(blocks, idx, axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_row_gather_matches_numpy():
     rng = np.random.default_rng(2)
     table = rng.uniform(size=(300, 128)).astype(np.float32)

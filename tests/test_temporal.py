@@ -121,3 +121,74 @@ def test_translating_camera_reprojects(static_frames):
     rough = (1.0 - np.asarray(gb.smoothness)) > 0.5
     accepted = np.asarray(res.sample_count)[nonsky & rough] > 1.0
     assert accepted.mean() > 0.6
+
+
+def test_packed_history_reads_match_unpacked(static_frames):
+    """PTConfig.packed_temporal serves the five history reads from one
+    (H*W, 8) row table; must reproduce the channel-plane path exactly
+    (same texels, same lerp factors, f32 math both ways)."""
+    sc, cam, gb = static_frames
+    rng = np.random.default_rng(7)
+    # Moving camera + rich random history so every branch/read matters.
+    cam2 = fixtures.box_scene_camera(H, W, jitter=0.02)
+    gb2 = fixtures.rasterize_gbuffers(sc, cam2, H, W, prev_cam=cam)
+    state = TemporalState.create(H, W, cam)
+    state = state.replace(
+        history_color=jnp.asarray(rng.random((H, W, 3), np.float32) * 3.0),
+        history_sample=jnp.asarray((rng.random((H, W)) * 9).astype(np.float32)),
+        history_depth=gb2.layer1_depth()
+        + jnp.asarray(rng.normal(0, 1e-4, (H, W)).astype(np.float32)),
+        history_emission=jnp.asarray(rng.random((H, W, 3), np.float32)),
+    )
+    noisy = jnp.asarray(rng.random((H, W, 3), np.float32))
+    kw = dict(
+        temporal_intensity=0.93, pixel_spread_angle_tangent=_spread(cam2)
+    )
+    import dataclasses
+
+    res_u = temporal_reproject(
+        noisy, gb2, cam2, state, gb2.emission,
+        dataclasses.replace(CFG, packed_temporal=False), **kw
+    )
+    res_p = temporal_reproject(
+        noisy, gb2, cam2, state, gb2.emission,
+        dataclasses.replace(CFG, packed_temporal=True), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_p.color), np.asarray(res_u.color), rtol=0, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_p.sample_count), np.asarray(res_u.sample_count)
+    )
+
+
+def test_packed_history_reads_match_bf16(static_frames):
+    """Same contract at the bf16 history-dtype axis (SURVEY C15)."""
+    sc, cam, gb = static_frames
+    rng = np.random.default_rng(11)
+    state = TemporalState.create(H, W, cam, dtype=jnp.bfloat16)
+    state = state.replace(
+        history_color=jnp.asarray(rng.random((H, W, 3), np.float32)).astype(
+            jnp.bfloat16
+        ),
+        history_sample=jnp.asarray((rng.random((H, W)) * 9).astype(np.float32)),
+        history_depth=gb.layer1_depth(),
+        history_emission=gb.emission.astype(jnp.bfloat16),
+    )
+    noisy = jnp.asarray(rng.random((H, W, 3), np.float32))
+    kw = dict(
+        temporal_intensity=0.93, pixel_spread_angle_tangent=_spread(cam)
+    )
+    import dataclasses
+
+    res_u = temporal_reproject(
+        noisy, gb, cam, state, gb.emission,
+        dataclasses.replace(CFG, packed_temporal=False), **kw
+    )
+    res_p = temporal_reproject(
+        noisy, gb, cam, state, gb.emission,
+        dataclasses.replace(CFG, packed_temporal=True), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_p.color), np.asarray(res_u.color), rtol=0, atol=1e-6
+    )

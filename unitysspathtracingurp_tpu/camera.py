@@ -15,6 +15,7 @@ Conventions (fixed once, all fixtures encode them):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -73,7 +74,10 @@ def look_at(eye, target, up):
     right = right / jnp.linalg.norm(right)
     true_up = jnp.cross(right, fwd)
     rot = jnp.stack([right, true_up, -fwd])  # rows: view-space basis
-    trans = -rot @ eye
+    # precision=HIGHEST: eager jnp runs on the default backend, and
+    # TPU default-precision matmul (bf16) would bake ~1e-3 relative
+    # error into the camera coefficients themselves (r3 diagnosis).
+    trans = -jnp.matmul(rot, eye, precision=jax.lax.Precision.HIGHEST)
     view = jnp.eye(4, dtype=jnp.float32)
     view = view.at[:3, :3].set(rot)
     view = view.at[:3, 3].set(trans)
@@ -83,7 +87,7 @@ def look_at(eye, target, up):
 def make_camera(eye, target, up, fov_y, aspect, near, far) -> Camera:
     view = look_at(eye, target, up)
     proj = perspective_reversed_z(fov_y, aspect, near, far)
-    view_proj = proj @ view
+    view_proj = jnp.matmul(proj, view, precision=jax.lax.Precision.HIGHEST)
     return Camera(
         position=jnp.asarray(eye, jnp.float32),
         view=view,
@@ -102,14 +106,26 @@ def world_to_ndc(view_proj, position_ws):
     ray-march loop (reference: PathTracing.hlsl:63-64). ``position_ws``
     is (..., 3); returns (..., 3).
     """
+    # Planar scalar expansion, NOT `p @ vp.T`: XLA:TPU lowers the
+    # (..., 3) x (3, 3) dot at the default bf16 matmul precision, which
+    # put up to ~2e-3 absolute error on u/v (≈ 1-3 texels at 1080p) —
+    # enough to flip march skip tests and hit windows wholesale
+    # (diagnosed r3; the fused Pallas schedule kernel computes this
+    # expansion exactly and exposed the drift). Explicit muls+adds stay
+    # in full f32 on every backend, and match fused_schedule's
+    # `project` op-for-op.
     p = jnp.asarray(position_ws)
-    clip = p @ view_proj[:3, :3].T + view_proj[:3, 3]
-    w = p @ view_proj[3, :3] + view_proj[3, 3]
+    m = view_proj
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    clipx = x * m[0, 0] + y * m[0, 1] + z * m[0, 2] + m[0, 3]
+    clipy = x * m[1, 0] + y * m[1, 1] + z * m[1, 2] + m[1, 3]
+    clipz = x * m[2, 0] + y * m[2, 1] + z * m[2, 2] + m[2, 3]
+    w = x * m[3, 0] + y * m[3, 1] + z * m[3, 2] + m[3, 3]
     # Guard against w ~ 0 (points on the camera plane).
     w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    ndc = clip / w[..., None]
-    uv = ndc[..., :2] * 0.5 + 0.5
-    return jnp.concatenate([uv, ndc[..., 2:3]], axis=-1)
+    return jnp.stack(
+        [clipx / w * 0.5 + 0.5, clipy / w * 0.5 + 0.5, clipz / w], axis=-1
+    )
 
 
 def world_from_uv_depth(inv_view_proj, uv, raw_depth):
@@ -120,13 +136,19 @@ def world_from_uv_depth(inv_view_proj, uv, raw_depth):
     temporal denoiser (PathTracingDenoise.hlsl:151-152).
     ``uv`` is (..., 2); ``raw_depth`` is (...); returns (..., 3).
     """
+    # Planar expansion for the same reason as world_to_ndc: the TPU
+    # default-precision (..., 4) x (4, 4) dot degraded reconstructed
+    # world positions by ~cm at room scale.
     uv = jnp.asarray(uv)
-    ndc_xy = uv * 2.0 - 1.0
-    clip = jnp.concatenate(
-        [ndc_xy, raw_depth[..., None], jnp.ones_like(raw_depth)[..., None]], axis=-1
-    )
-    h = clip @ inv_view_proj.T
-    return h[..., :3] / h[..., 3:4]
+    m = inv_view_proj
+    nx = uv[..., 0] * 2.0 - 1.0
+    ny = uv[..., 1] * 2.0 - 1.0
+    d = raw_depth
+    hx = nx * m[0, 0] + ny * m[0, 1] + d * m[0, 2] + m[0, 3]
+    hy = nx * m[1, 0] + ny * m[1, 1] + d * m[1, 2] + m[1, 3]
+    hz = nx * m[2, 0] + ny * m[2, 1] + d * m[2, 2] + m[2, 3]
+    hw = nx * m[3, 0] + ny * m[3, 1] + d * m[3, 2] + m[3, 3]
+    return jnp.stack([hx / hw, hy / hw, hz / hw], axis=-1)
 
 
 def linear_eye_depth(raw_depth, near, far):

@@ -128,6 +128,13 @@ class PTConfig:
     # class). None disables.
     hiz_round_cap: float | None = None
 
+    # TPU tuning: candidates exact-tested per fetched 32x8-px tile row
+    # in one hiz resolve round (consecutive candidates often share the
+    # window: crawling rays). Total candidates considered per lane is
+    # bounded by n_rounds * hiz_chain; raising chain trades dense VPU
+    # link math for fewer gather+materialize rounds at iso-coverage.
+    hiz_chain: int = 4
+
     # TPU tuning (no behavioral effect, gated equal by
     # tests/test_fused_schedule.py): run the hiz front half (schedule
     # build + minitile filter + candidate pack) as one fused Pallas
@@ -137,6 +144,15 @@ class PTConfig:
     # in Pallas interpret mode (XLA:CPU takes minutes compiling the
     # interpreted s_max-step kernel body into every enclosing jit).
     fused_schedule: bool | None = None
+
+    # TPU tuning (no behavioral effect beyond f32 interpolation of
+    # bf16 history, gated by tests/test_temporal.py): fetch the five
+    # temporal-history reads (depth/emission point, sample/color
+    # bilinear at prev_uv, color bilinear at virtual_uv) from ONE
+    # packed (H*W, 8)-f32 row table — 9 wide row gathers instead of
+    # ~24 channel-plane takes (per-index gather pricing, v5e).
+    # None = auto: packed on TPU, unpacked elsewhere.
+    packed_temporal: bool | None = None
 
     # TPU tuning (no behavioral effect): march-loop unroll factor.
     # True = fully unroll. Gathers inside rolled XLA loops hit a ~500x

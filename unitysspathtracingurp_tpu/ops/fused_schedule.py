@@ -13,17 +13,17 @@ candidates into per-lane K-slot lists — reading only the per-lane ray
 state (~40 B/lane) and writing only the packed fields (~200 B/lane).
 
 The packed outputs reproduce the unfused pipeline (pack_by_slot over
-the phase-1/2 arrays) as the identical f32 op chain, but fused and
-unfused are separate compilations, so fma/contraction choices differ
-at the last ulp and threshold comparisons (skip test, screen bounds,
-minitile window) can flip for positions within 1 ulp of the edge.
+the phase-1/2 arrays) bit-exactly on TPU: both sides compute the
+identical explicit f32 op chain (planar mul/add projections, no
+matmul), verified at 1080p on v5e (scripts/diag_fused2.py: zero
+differing pixels depth-1). History note: before r3's precision fix
+this kernel DISAGREED with the unfused path by whole candidate sets —
+the root cause was camera.world_to_ndc's `p @ vp.T`, which XLA:TPU
+lowered at default (bf16) matmul precision, putting ~1e-3 absolute
+error on the unfused/parity u,v while this kernel's scalar expansion
+was exact; the fix made the planar expansion the shared definition.
 tests/test_fused_schedule.py gates the contract in interpret mode
-(integer fields exact, distances at ulp tolerance, edge flips the only
-allowed march divergence); on the real Mosaic lowering the flips are
-more frequent (measured ~2% of pixels on a no-dither 256² frame, mean
-|radiance diff| 3.6% single-frame) — under accumulation they average
-out and the converged deviation is subsumed by the hiz-vs-parity
-quality artifact at the headline config (docs/Performance.md).
+(integer fields exact, distances at ulp tolerance as safety).
 
 Plain-DepthTiles variant only (the headline path); refraction/backface
 configs keep the unfused front half (DualDepthTiles).

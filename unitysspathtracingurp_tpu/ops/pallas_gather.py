@@ -105,10 +105,13 @@ def broadcast_table_select(table: jnp.ndarray, idx: jnp.ndarray, n_chunks: int):
 def rowwise_select(blocks: jnp.ndarray, idx: jnp.ndarray):
     """values[r, k] = blocks[r, idx[r, k]] — per-row dynamic select.
 
-    ``blocks`` is (N, 128) f32 (each row = one ray's fetched depth
-    tile); ``idx`` is (N, K) int32 with K <= 128 (padded to 128 lanes
-    internally; pad entries may be any value in [0, 128)). This is the
-    Mosaic tpu.dynamic_gather form measured at ~30-50 G selects/s.
+    ``blocks`` is (N, 128) f32 or u32/i32 (each row = one ray's fetched
+    depth tile; integer dtypes move raw bit patterns with no float
+    canonicalization — use them for f16-pair words that may hold
+    NaN-payload encodings); ``idx`` is (N, K) int32 with K <= 128
+    (padded to 128 lanes internally; pad entries may be any value in
+    [0, 128)). This is the Mosaic tpu.dynamic_gather form measured at
+    ~30-50 G selects/s.
     """
     n, bw = blocks.shape
     assert bw == 128, "blocks must be (N, 128) tile rows"
@@ -124,7 +127,7 @@ def rowwise_select(blocks: jnp.ndarray, idx: jnp.ndarray):
     out = pl.pallas_call(
         kern,
         grid=(n // rows,),
-        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 128), blocks.dtype),
         in_specs=[
             pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),

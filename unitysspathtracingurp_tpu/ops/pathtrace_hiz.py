@@ -463,8 +463,9 @@ def ray_march_hiz(
     # cost), select its texel with a one-hot mask-sum (cheaper than a
     # dynamic gather for a single texel), and exact-test the reference
     # hit rule.
-    chain = 4  # candidates tested per fetched tile pair (consecutive
-    # candidates often land in the same 32x8-px window: crawling rays)
+    chain = int(cfg.hiz_chain)  # candidates tested per fetched tile
+    # pair (consecutive candidates often land in the same 32x8-px
+    # window: crawling rays); PTConfig.hiz_chain
 
     # Per-lane resolve state. pk_* stay in the packing kernel's (K,
     # lanes) layout — transposing them to lane-major measured +10% on
@@ -571,10 +572,16 @@ def ray_march_hiz(
                     tiles.pair_table, jnp.where(active, pair0, 0).reshape(-1)
                 ).reshape(lh, lw, 128)
             # All chain links' texel words as adjacent one-hot mask-sums
-            # over the same fetched blocks (XLA multi-output fusion
-            # reads the blocks once). Integer sums: the words are f16
-            # bit patterns — float arithmetic would corrupt NaN-payload
-            # encodings.
+            # over the same fetched blocks. This XLA form beats a Pallas
+            # rowwise_select here (measured r3: headline 36.9 -> 22.2
+            # Mrays/s with the kernel): the one-hot sums FUSE into the
+            # row gather's consumers, so the (N, 128) blocks are never
+            # materialized to HBM, while a pallas_call input forces the
+            # full 1 GB/round round-trip. (Same mechanism as the
+            # round_nogather~=round_full probe result — the gather is
+            # ~free inside the fused round graph.) Integer sums: the
+            # words are f16 bit patterns — float arithmetic would
+            # corrupt NaN-payload encodings.
             blocks_u = jax.lax.bitcast_convert_type(blocks, jnp.uint32)
             texel_oh = jnp.arange(128, dtype=jnp.int32)
             words = [

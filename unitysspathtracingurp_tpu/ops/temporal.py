@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -79,6 +80,47 @@ def _point(img, uv):
     ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
     return gather2d(img, iy, ix)
+
+
+def _bilinear_corners(uv, h, w):
+    """The corner indices + weights of sample_bilinear, factored out so
+    the packed path hits the exact same texels/lerp factors."""
+    x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
+    y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0.astype(x.dtype))[..., None]
+    fy = (y - y0.astype(y.dtype))[..., None]
+    return x0, y0, x1, y1, fx, fy
+
+
+def _pack_history(state: "TemporalState") -> jnp.ndarray:
+    """(H, W, 8) f32 row table: [color rgb, sample, depth, emission
+    rgb]. One wide row gather fetches every history RT at a texel in a
+    single per-index-priced op (PTConfig.packed_temporal; bf16 history
+    widens losslessly, interpolation is f32 either way)."""
+    return jnp.concatenate(
+        [
+            state.history_color.astype(jnp.float32),
+            state.history_sample[..., None],
+            state.history_depth[..., None],
+            state.history_emission.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def _bilinear_rows(table, uv):
+    """Bilinear-interpolated packed rows at uv (4 wide gathers)."""
+    from ..gbuffer_packed import gather_wide
+
+    h, w = table.shape[0], table.shape[1]
+    x0, y0, x1, y1, fx, fy = _bilinear_corners(uv, h, w)
+    top = gather_wide(table, y0, x0) * (1 - fx) + gather_wide(table, y0, x1) * fx
+    bot = gather_wide(table, y1, x0) * (1 - fx) + gather_wide(table, y1, x1) * fx
+    return top * (1 - fy) + bot * fy
 
 
 def _shift(img, dx, dy):
@@ -140,8 +182,36 @@ def temporal_reproject(
     velocity = gb.motion if gb.motion is not None else jnp.zeros((h, w, 2))
     prev_uv = uv - velocity
 
+    packed = cfg.packed_temporal
+    if packed is None:
+        packed = jax.default_backend() == "tpu"
+
+    # The four prev_uv history reads depend only on prev_uv/state —
+    # hoisted together so the packed path can serve them from one
+    # (H*W, 8) row table (5 wide gathers; the virtual-uv read below
+    # adds 4 more), instead of ~20 channel-plane takes.
+    if packed:
+        table = _pack_history(state)
+        bil = _bilinear_rows(table, prev_uv)
+        prev_color_mv = bil[..., 0:3]
+        history_sample = bil[..., 3]
+        from ..gbuffer_packed import gather_wide
+
+        ixp = jnp.clip(jnp.floor(prev_uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        iyp = jnp.clip(jnp.floor(prev_uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        rp = gather_wide(table, iyp, ixp)
+        prev_depth = rp[..., 4]
+        prev_emis = rp[..., 5:8]
+    else:
+        table = None
+        prev_depth = _point(state.history_depth[..., None], prev_uv)[..., 0]
+        prev_emis = _point(state.history_emission, prev_uv)
+        history_sample = sample_bilinear(state.history_sample[..., None], prev_uv)[
+            ..., 0
+        ]
+        prev_color_mv = sample_bilinear(state.history_color, prev_uv)
+
     device_depth = gb.layer1_depth()
-    prev_depth = _point(state.history_depth[..., None], prev_uv)[..., 0]
 
     # Guide normal/smoothness: transparent G-buffer when refractive
     # (Denoise.hlsl:122-132).
@@ -185,7 +255,6 @@ def temporal_reproject(
 
     # Emission-change rejection (Denoise.hlsl:181-196).
     cur_emis = emission
-    prev_emis = _point(state.history_emission, prev_uv)
     el = luminance(cur_emis)
     pl = luminance(prev_emis)
     ediff = 1.0 - jnp.abs(el - pl) / jnp.maximum(jnp.maximum(el, pl), 0.2)
@@ -193,10 +262,7 @@ def temporal_reproject(
     emission_diff = jnp.where(can_reproject, ediff, 1.0)
     can_reproject = can_reproject & (emission_diff >= 0.5)
 
-    history_sample = sample_bilinear(state.history_sample[..., None], prev_uv)[..., 0]
-
     # ---------------- Rough branch (Denoise.hlsl:200-238) ----------------
-    prev_color_mv = sample_bilinear(state.history_color, prev_uv)
     acc_rough = jnp.where(
         history_sample >= max_n,
         jnp.asarray(temporal_intensity, jnp.float32),
@@ -232,11 +298,19 @@ def temporal_reproject(
     virtual_pos = position - view * (
         jnp.linalg.norm(position, axis=-1) * dominant
     )[..., None]
-    vh = jnp.concatenate([virtual_pos, jnp.ones((h, w, 1))], axis=-1)
-    clip = vh @ state.prev_view_proj.T
-    wdiv = jnp.where(jnp.abs(clip[..., 3:4]) < 1e-12, 1e-12, clip[..., 3:4])
-    virtual_uv = (clip[..., :2] / wdiv) * 0.5 + 0.5
-    prev_color_virtual = sample_bilinear(state.history_color, virtual_uv)
+    # Planar expansion (camera.world_to_ndc rationale): the TPU
+    # default-precision dot put texel-scale error on virtual_uv.
+    pm = state.prev_view_proj
+    vx, vy, vz = virtual_pos[..., 0], virtual_pos[..., 1], virtual_pos[..., 2]
+    clipx = vx * pm[0, 0] + vy * pm[0, 1] + vz * pm[0, 2] + pm[0, 3]
+    clipy = vx * pm[1, 0] + vy * pm[1, 1] + vz * pm[1, 2] + pm[1, 3]
+    clipw = vx * pm[3, 0] + vy * pm[3, 1] + vz * pm[3, 2] + pm[3, 3]
+    wdiv = jnp.where(jnp.abs(clipw) < 1e-12, 1e-12, clipw)[..., None]
+    virtual_uv = (jnp.stack([clipx, clipy], -1) / wdiv) * 0.5 + 0.5
+    if packed:
+        prev_color_virtual = _bilinear_rows(table, virtual_uv)[..., 0:3]
+    else:
+        prev_color_virtual = sample_bilinear(state.history_color, virtual_uv)
     prev_clipped = _clip_to_aabb(prev_color_virtual, minimum, maximum)
 
     hist_luma = luminance(prev_clipped)
