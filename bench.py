@@ -80,13 +80,15 @@ def main():
         return 1
     trace = available[kernel_name]
 
-    # BoxScene-tuned between-bounce ray compaction (PTConfig docs):
-    # measured alive fractions entering bounces 1-3 are 36/22/15%; caps
-    # 50/31/25% leave ~40% headroom, so zero rays drop (gated by
-    # tests/test_compaction.py) and the trace is bit-identical while
-    # every per-lane bounce cost shrinks accordingly.
+    # BoxScene-tuned production config (PTConfig.boxscene_headline —
+    # the ONE definition shared with quality_headline.py and the
+    # sweeps): measured-tight compaction caps with 1.25x headroom,
+    # zero-drop gated by tests/test_compaction.py and the on-chip
+    # seed sweep (scripts/probe_alive_var.py --check-caps); the trace
+    # stays bit-identical to the dense one while every per-lane bounce
+    # cost shrinks with the alive fraction.
     if not small:
-        cfg = PTConfig(compaction_caps=(1.0, 0.5, 0.3125, 0.25))
+        cfg = PTConfig.boxscene_headline()
 
     if os.environ.get("BENCH_VIA") == "renderer":
         # Drive the frame THROUGH the product orchestrator

@@ -73,7 +73,11 @@ def main():
         progress_bar=False,
         dithering=False,
     )
-    r = Renderer(settings, H, W)
+    # The reference BoxScene's 3 baked reflection probes, closest-2
+    # bound to the camera (PathTracingSetReflectionProbe.cs:49-83) —
+    # probe sampling is the env light on every ray miss.
+    probes = fixtures.box_scene_probes(sc, camera_position=cam.position)
+    r = Renderer(settings, H, W, probes=probes)
 
     image = None
     for i in range(args.frames):

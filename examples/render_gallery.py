@@ -62,7 +62,12 @@ def main():
             progress_bar=False,
             dithering=False,
         )
-        r = Renderer(settings, H, W)
+        # Baked BoxScene probes, rebound per frame as the dolly moves
+        # (the binder's per-frame closest-2 selection, cs:49-83).
+        r = Renderer(
+            settings, H, W,
+            probes=fixtures.box_scene_probes(sc),
+        )
         prev_cam = None
         for i in range(args.frames):
             t = i / max(args.frames - 1, 1)

@@ -51,9 +51,10 @@ def worker(chain: int, rounds: int, out_path: str) -> None:
         maximum_depth=BOUNCES, samples_per_pixel=1, maximum_steps=STEPS,
         dithering=False,
     )
-    cfg = PTConfig(
-        compaction_caps=(1.0, 0.5, 0.3125, 0.25), hiz_chain=chain
-    )
+    caps = (1.0, 0.5, 0.3125, 0.25)
+    if os.environ.get("SWEEP_CAPS"):  # e.g. "1.0,0.3125,0.1875,0.15"
+        caps = tuple(float(v) for v in os.environ["SWEEP_CAPS"].split(","))
+    cfg = PTConfig(compaction_caps=caps, hiz_chain=chain)
     variants = settings.variants()
     tiles = jax.jit(build_depth_tiles)(gb.layer1_depth(), cam.near, cam.far)
 

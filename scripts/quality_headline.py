@@ -17,7 +17,7 @@ Usage:
   python scripts/quality_headline.py --kernel hiz --frames N --out F
                                                      # one-kernel worker
 
-Writes fixtures/quality_headline_r3.json + prints one JSON line.
+Writes fixtures/quality_headline_r4.json + prints one JSON line.
 """
 
 import json
@@ -64,12 +64,15 @@ def worker(kernel: str, frames: int, out_path: str) -> None:
         maximum_steps=STEPS,
         dithering=False,
     )
-    # The exact headline bench config (bench.py): BoxScene-tuned
-    # compaction caps; hiz additionally prebuilds the static tiles.
-    # --unfused forces the XLA front half (r3 diagnosis: isolate the
-    # fused Pallas kernel's contribution to the converged deviation).
-    cfg = PTConfig(
-        compaction_caps=(1.0, 0.5, 0.3125, 0.25),
+    # The exact headline bench config (PTConfig.boxscene_headline, the
+    # definition bench.py measures); hiz additionally prebuilds the
+    # static tiles. --unfused forces the XLA front half (r3 diagnosis:
+    # isolate the fused Pallas kernel's contribution to the converged
+    # deviation).
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        PTConfig.boxscene_headline(),
         fused_schedule=False if "--unfused" in sys.argv else None,
     )
     variants = settings.variants()
@@ -171,7 +174,7 @@ def main():
             return 1
 
     result = compare(outs["hiz"], outs["xla"], frames)
-    art = os.path.join(ROOT, "fixtures", "quality_headline_r3.json")
+    art = os.path.join(ROOT, "fixtures", "quality_headline_r4.json")
     with open(art, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

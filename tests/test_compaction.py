@@ -96,6 +96,34 @@ def test_hiz_compaction_bitexact():
         np.asarray(comp), np.asarray(dense), rtol=1e-6, atol=2e-6)
 
 
+def test_headline_caps_zero_drop():
+    """The SHIPPED headline caps (PTConfig.boxscene_headline) are
+    zero-drop and bit-close to the dense hiz trace at 256² — the
+    smallest shape whose alive fractions were measured (31.4/17.4/10.7%
+    entering bounces 1-3; they RISE as frames shrink, so this is the
+    tight end of the gate; the 1080p end runs on-chip via
+    scripts/probe_alive_var.py --check-caps). ADVICE r3: adopting
+    measured caps requires a zero-drop equivalence gate at the target
+    config."""
+    gb, cam, probes = _frame_inputs(256, 256)
+    settings = PTSettings(maximum_depth=4, samples_per_pixel=1,
+                          maximum_steps=24, dithering=False)
+    variants = settings.variants()
+    fi = jnp.uint32(11)
+    dense = pathtrace_hiz.trace_frame_hiz(
+        gb, cam, probes, settings, PTConfig(), variants, fi)
+    dbg = {}
+    comp = pathtrace_hiz.trace_frame_hiz(
+        gb, cam, probes, settings, PTConfig.boxscene_headline(),
+        variants, fi, _debug_out=dbg)
+    for b in range(1, 4):
+        assert int(dbg[f"compact_drop_b{b}"]) == 0, (
+            f"shipped headline cap drops rays at b{b}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(comp), np.asarray(dense), rtol=1e-6, atol=2e-6)
+
+
 def test_compaction_overflow_contract():
     """A dishonest cap drops overflow lanes: the drop is counted in the
     debug ledger and the image stays finite (dropped lanes just lose

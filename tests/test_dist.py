@@ -49,6 +49,36 @@ def test_tile_sharding_matches_single_device(inputs):
     assert np.allclose(sharded, single, atol=1e-6)  # ulp-level fusion diffs
 
 
+def test_tile_sharding_hiz_matches_single_device(inputs):
+    """The PRODUCTION kernel (hiz wavefront) under pure tile sharding is
+    bit-close to the unsharded hiz trace — the march is per-lane
+    deterministic and each band marches against the same replicated
+    full-frame depth structures (VERDICT r3 item 6: the dist gates must
+    certify the kernel users actually get, not just the parity oracle)."""
+    from unitysspathtracingurp_tpu.ops.pathtrace_hiz import (
+        build_tiles_for,
+        trace_frame_hiz,
+    )
+
+    gb, cam, probes = inputs
+    mesh = make_mesh(n_spp=1, n_tile=4)
+    variants = SETTINGS.variants()
+    tiles = build_tiles_for(gb, cam, variants)
+    sharded = np.asarray(
+        trace_frame_sharded(
+            mesh, gb, cam, probes, SETTINGS, CFG, variants, jnp.uint32(0), H,
+            use_hiz=True, tiles=tiles,
+        )
+    )
+    single = np.asarray(
+        trace_frame_hiz(
+            gb, cam, probes, SETTINGS, CFG, variants, jnp.uint32(0),
+            tiles=tiles,
+        )
+    )
+    assert np.allclose(sharded, single, atol=1e-6)  # ulp-level fusion diffs
+
+
 def test_spp_sharding_is_mean_of_seeds(inputs):
     """SPP sharding over the mesh == numpy mean of the per-seed frames."""
     gb, cam, probes = inputs

@@ -128,6 +128,83 @@ def test_fused_lane_padding():
     _assert_march_equal(fast, slow, (40, 96))
 
 
+def _dual_march_pair(refraction, backface, inside_val):
+    """Fused-vs-unfused march pair on the DUAL (refraction/backface)
+    path (glass BoxScene + backface layers, DualDepthTiles)."""
+    from unitysspathtracingurp_tpu.config import ThicknessMode
+    from unitysspathtracingurp_tpu.ops.pathtrace_hiz import build_tiles_for
+
+    sc = scene.build_box_scene(with_glass=True, with_mirror=False)
+    cam = fixtures.box_scene_camera(H, W)
+    gb = fixtures.rasterize_gbuffers(sc, cam, H, W, with_backface=True)
+    settings = PTSettings(
+        maximum_steps=24,
+        support_refraction=refraction,
+        accurate_thickness=(
+            ThicknessMode.DEPTH_NORMALS if backface else ThicknessMode.CONSTANT
+        ),
+        dithering=False,
+    )
+    variants = settings.variants()
+    tiles = build_tiles_for(gb, cam, variants)
+    uv = pixel_uv(H, W)
+    depth = gb.depth
+    pos_ws = world_from_uv_depth(cam.inv_view_proj, uv, depth)
+    view_dir = pos_ws - cam.position
+    view_dir = view_dir / jnp.linalg.norm(view_dir, axis=-1, keepdims=True)
+    n = gb.normal
+    refl = view_dir - 2.0 * jnp.sum(view_dir * n, -1, keepdims=True) * n
+    tilt = jnp.stack(
+        [
+            jnp.cos(uv[..., 0] * 7.0),
+            jnp.sin(uv[..., 1] * 5.0),
+            jnp.cos(uv[..., 0] * 3.0),
+        ],
+        -1,
+    )
+    d = refl + 0.3 * tilt
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    alive = depth != 0.0
+    origin = pos_ws + n * 1e-4
+    scene_dist = linear_eye_depth(depth, cam.near, cam.far)
+    inside = jnp.full((H, W), inside_val, jnp.float32)
+    zero = jnp.zeros((H, W), jnp.float32)
+    args = (gb, cam, origin, d, inside, zero, -view_dir, scene_dist, alive)
+
+    def run(cfg):
+        return pathtrace_hiz.ray_march_hiz(
+            cfg, settings, variants, *args, tiles=tiles, n_rounds=10
+        )
+
+    return run(PTConfig(fused_schedule=True)), run(
+        PTConfig(fused_schedule=False)
+    )
+
+
+def test_fused_dual_matches_unfused_refraction_backface():
+    """The round-4 dual fused front half (combo-offset minitile lookup,
+    max(th, step) backed margin, search/bmax escapes, 4th packed step
+    field) reproduces the unfused dual phases on the hardest variant
+    set (refraction + backface, inside==0)."""
+    fast, slow = _dual_march_pair(True, True, 0.0)
+    _assert_march_equal(fast, slow, (H, W))
+
+
+def test_fused_dual_matches_unfused_inside_lane():
+    """inside==1 lanes select combo 1 (marching inside glass against
+    the back layer) — gates the per-lane table offset."""
+    fast, slow = _dual_march_pair(True, True, 1.0)
+    _assert_march_equal(fast, slow, (H, W))
+
+
+def test_fused_dual_matches_unfused_refraction_only():
+    """Refraction without backface textures: 2-combo tables with no
+    back layer anywhere (bmax = -inf sentinels exercise the signed f16
+    widening)."""
+    fast, slow = _dual_march_pair(True, False, 0.0)
+    _assert_march_equal(fast, slow, (H, W))
+
+
 def test_fused_kernel_outputs_structurally_exact():
     """Integer-coded pack fields (scode: step/prev-step/thickness;
     hist: interpolation endpoints) and candidate counts must be exact;

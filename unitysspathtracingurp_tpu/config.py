@@ -161,6 +161,23 @@ class PTConfig:
     # the cost of one long compile (amortized by the persistent cache).
     march_unroll: int | bool = True
 
+    @classmethod
+    def boxscene_headline(cls) -> "PTConfig":
+        """The BoxScene-1080p-tuned production config — the ONE
+        definition bench.py, quality_headline.py and the tuning sweeps
+        all measure (ADVICE r3: the tuned caps drifted across files).
+
+        compaction_caps: measured max alive fractions entering bounces
+        1-3 are 25/15/12% at 1080p over 14 frame seeds
+        (scripts/probe_alive_var.py, round 3) but RISE at smaller
+        frames (31.4/17.4/10.7% at 256² — the skip/exit balance is
+        resolution-dependent), so the caps carry headroom over the
+        256² maxima too: 34/21/15% is zero-drop at every measured
+        shape, gated by tests/test_compaction.py::
+        test_headline_caps_zero_drop (256², CPU) and the on-chip 1080p
+        seed sweep (scripts/probe_alive_var.py --check-caps)."""
+        return cls(compaction_caps=(1.0, 0.34, 0.21, 0.15))
+
 
 @dataclasses.dataclass(frozen=True)
 class PTVariants:

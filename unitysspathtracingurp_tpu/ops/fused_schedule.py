@@ -25,8 +25,13 @@ was exact; the fix made the planar expansion the shared definition.
 tests/test_fused_schedule.py gates the contract in interpret mode
 (integer fields exact, distances at ulp tolerance as safety).
 
-Plain-DepthTiles variant only (the headline path); refraction/backface
-configs keep the unfused front half (DualDepthTiles).
+Covers BOTH depth-table layouts since round 4: plain ``DepthTiles``
+(the headline path) and ``DualDepthTiles`` (refraction / backface
+variants — per-lane combo-offset minitile lookup, the backed hit
+window margin max(th, step), the search-lane / back-max candidate
+escapes of ops/pathtrace_hiz.py phase 2, and a 4th packed field for
+the per-candidate step size the backed hit rule needs, hlsl:181).
+_debug_out instrumentation runs keep the unfused path.
 """
 
 from __future__ import annotations
@@ -48,6 +53,23 @@ def _use_interpret() -> bool:
 _LANES_PER_BLOCK = 1024  # (8, 128) per-lane vectors: full VPU tiles
 
 
+def _half_to_f32_signed(h16):
+    """Arithmetic f16->f32 widening that also maps sign and inf
+    (Mosaic rejects 16-bit vreg bitcasts on this toolchain, see
+    _unpack_minmax_vec). The DUAL tables carry ±inf sentinels
+    (depth_tiles.build_dual_depth_tiles: umax/bmax pad -inf, mmin pads
+    +inf, bmax is -inf where no texel has valid back data), so inf/nan
+    magnitudes map to ±3e38 — every comparison against a bounded
+    linear depth gives the same boolean as true ±inf, keeping the
+    packs bit-identical to the unfused phase 2."""
+    mag = h16 & jnp.uint32(0x7FFF)
+    f32_bits = (mag + jnp.uint32(112 << 10)) << 13
+    val = jax.lax.bitcast_convert_type(f32_bits, jnp.float32)
+    val = jnp.where(mag < 1024, 0.0, val)
+    val = jnp.where(mag >= 0x7C00, 3.0e38, val)
+    return jnp.where(h16 >= 0x8000, -val, val)
+
+
 def _unpack_minmax_vec(word_f32):
     """f16(min) | f16(max)<<16 -> (min_f32, max_f32), elementwise.
 
@@ -55,10 +77,11 @@ def _unpack_minmax_vec(word_f32):
     "Invalid vector register cast" on this toolchain), so the f16
     halves are widened arithmetically instead: for a positive normal
     f16, f32_bits = (bits16 + (112 << 10)) << 13 — exactly the result
-    of .astype(float32). The mini table only holds linear eye depths
-    in [near, far] (depth_tiles: sky linearizes to far), so zero /
-    subnormal halves (exp field 0) cannot occur; they map to 0.0
-    defensively."""
+    of .astype(float32). The PLAIN mini table only holds linear eye
+    depths in [near, far] (depth_tiles: sky linearizes to far), so
+    zero / subnormal halves (exp field 0) cannot occur; they map to
+    0.0 defensively. (Dual tables carry ±inf sentinels and use
+    _half_to_f32_signed.)"""
     u = jax.lax.bitcast_convert_type(word_f32, jnp.uint32)
 
     def half_to_f32(h16):
@@ -67,6 +90,15 @@ def _unpack_minmax_vec(word_f32):
         return jnp.where(h16 < 1024, 0.0, val)
 
     return half_to_f32(u & 0xFFFF), half_to_f32(u >> 16)
+
+
+def _unpack_minmax_vec_signed(word_f32):
+    """Dual-table variant of _unpack_minmax_vec (±inf sentinels)."""
+    u = jax.lax.bitcast_convert_type(word_f32, jnp.uint32)
+    return (
+        _half_to_f32_signed(u & 0xFFFF),
+        _half_to_f32_signed(u >> 16),
+    )
 
 
 def fused_schedule_pack(*args, **kwargs):
@@ -89,6 +121,9 @@ def _fused_schedule_pack(
     is_back,        # (N,) bool (binary-search-capable lanes)
     mini_table,     # (n_chunks, 128) f32-bitcast u32 f16 min|max<<16
     scalars,        # (1, 18) f32: view_proj row-major (16) + zz + zw
+    combo=None,     # dual only: (N,) i32 per-lane (test, back) combo
+    search=None,    # dual only: (N,) bool search-capable lanes
+    bmax_table=None,  # dual only: (n_chunks, 128) f16 bmax (low half)
     *,
     gh: int,
     gw: int,
@@ -103,10 +138,13 @@ def _fused_schedule_pack(
     marching_thickness: float,
     step_growth: float,
     thickness_growth: float,
+    dual: bool = False,
+    chunks_per_combo: int = 0,
 ):
-    """Returns (pk_cum, pk_scode, pk_hist) each (k, N) f32 plus
-    n_cand (N,) i32 — the exact outputs of the unfused phase-1/2/3
-    chain (ops/pathtrace_hiz.py) for the plain-DepthTiles variant."""
+    """Returns (pk_cum, pk_scode, pk_hist[, pk_step]) each (k, N) f32
+    plus n_cand (N,) i32 — the exact outputs of the unfused
+    phase-1/2/3 chain (ops/pathtrace_hiz.py) for the plain- or
+    dual-DepthTiles variant."""
     n = ray_pos.shape[0]
     pad = (-n) % _LANES_PER_BLOCK
     if pad:
@@ -116,6 +154,9 @@ def _fused_schedule_pack(
         large_step = jnp.pad(large_step, (0, pad))
         alive = jnp.pad(alive, (0, pad))
         is_back = jnp.pad(is_back, (0, pad))
+        if dual:
+            combo = jnp.pad(combo, (0, pad))
+            search = jnp.pad(search, (0, pad))
     np_ = n + pad
     nb = np_ // _LANES_PER_BLOCK
     rows = np_ // 128
@@ -129,6 +170,11 @@ def _fused_schedule_pack(
         r128(dither), r128(large_step),
         r128(alive.astype(jnp.float32)), r128(is_back.astype(jnp.float32)),
     ]
+    if dual:
+        ins += [
+            r128(combo.astype(jnp.int32)),
+            r128(search.astype(jnp.float32)),
+        ]
 
     texel_x, texel_y = 1.0 / gw, 1.0 / gh
     th_cap = float(
@@ -138,8 +184,14 @@ def _fused_schedule_pack(
     )
 
     def kern(s_ref, tab_ref, *refs):
+        if dual:
+            btab_ref = refs[0]
+            refs = refs[1:]
         in_refs = refs[: len(ins)]
-        o_cum, o_scode, o_hist, o_cnt = refs[len(ins):]
+        if dual:
+            o_cum, o_scode, o_hist, o_step, o_cnt = refs[len(ins):]
+        else:
+            o_cum, o_scode, o_hist, o_cnt = refs[len(ins):]
         px = in_refs[0][:]
         py = in_refs[1][:]
         pz = in_refs[2][:]
@@ -150,6 +202,9 @@ def _fused_schedule_pack(
         lstep = in_refs[7][:]
         marching = in_refs[8][:] > 0.5
         backray = in_refs[9][:] > 0.5
+        if dual:
+            lane_combo = in_refs[10][:]
+            searchlane = in_refs[11][:] > 0.5
 
         m = [s_ref[0, i] for i in range(16)]  # view_proj row-major
         zz = s_ref[0, 16]
@@ -177,6 +232,9 @@ def _fused_schedule_pack(
         slots_cum = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
         slots_scode = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
         slots_hist = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
+        if dual:
+            slots_step = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
+            combo_off = lane_combo * (chunks_per_combo * 128)
 
         q40 = lambda x, mx: jnp.clip(jnp.round(x * 40.0), 0.0, mx)  # noqa: E731
 
@@ -217,16 +275,42 @@ def _fused_schedule_pack(
             mini = (iy // (TILE_H * MINI_TY)) * minis_x + ix // (
                 TILE_W * MINI_TX
             )
+            if dual:
+                mini = mini + combo_off
             word = jnp.zeros(shape, jnp.float32)
+            bword = jnp.zeros(shape, jnp.float32)
             mlow = mini & 127
             mchunk = mini >> 7
             for c in range(n_chunks):
                 chunk = jnp.broadcast_to(tab_ref[c : c + 1, :], shape)
                 g = jnp.take_along_axis(chunk, mlow, axis=1)
                 word = g if n_chunks == 1 else jnp.where(mchunk == c, g, word)
-            mmin, mmax = _unpack_minmax_vec(word)
+                if dual:
+                    bchunk = jnp.broadcast_to(btab_ref[c : c + 1, :], shape)
+                    bg = jnp.take_along_axis(bchunk, mlow, axis=1)
+                    bword = (
+                        bg if n_chunks == 1 else jnp.where(mchunk == c, bg, bword)
+                    )
 
-            cand = proc & (hitd >= mmin) & ((hitd - th <= mmax) | backray)
+            if dual:
+                # Conservative dual candidate rule (pathtrace_hiz.py
+                # phase 2, hlsl:149-181): backed window margin
+                # max(th, step); search-capable lanes and front rays
+                # below the block's max back depth escape the window.
+                mmin, umax = _unpack_minmax_vec_signed(word)
+                bmax = _half_to_f32_signed(
+                    jax.lax.bitcast_convert_type(bword, jnp.uint32)
+                    & jnp.uint32(0xFFFF)
+                )
+                margin = jnp.maximum(th, step)
+                cand = proc & (hitd >= mmin) & (
+                    (hitd - margin <= umax) | searchlane | (hitd <= bmax)
+                )
+            else:
+                mmin, mmax = _unpack_minmax_vec(word)
+                cand = proc & (hitd >= mmin) & (
+                    (hitd - th <= mmax) | backray
+                )
 
             scode = (
                 float(i - 1)
@@ -239,6 +323,12 @@ def _fused_schedule_pack(
                 slots_cum[j] = jnp.where(mj, cum, slots_cum[j])
                 slots_scode[j] = jnp.where(mj, scode, slots_scode[j])
                 slots_hist[j] = jnp.where(mj, hist, slots_hist[j])
+                if dual:
+                    # The backed hit rule needs the step size
+                    # (hlsl:181); quantized like the endpoints.
+                    slots_step[j] = jnp.where(
+                        mj, q40(step, 4095.0), slots_step[j]
+                    )
             run = run + cand.astype(jnp.int32)
 
             step = jnp.where(proc, step + step * step_growth, step)
@@ -256,6 +346,8 @@ def _fused_schedule_pack(
             o_cum[0, j] = slots_cum[j]
             o_scode[0, j] = slots_scode[j]
             o_hist[0, j] = slots_hist[j]
+            if dual:
+                o_step[0, j] = slots_step[j]
         o_cnt[0, 0] = jnp.minimum(run, k)
 
     lane_block = pl.BlockSpec(
@@ -267,31 +359,39 @@ def _fused_schedule_pack(
     cnt_block = pl.BlockSpec(
         (1, 1, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
+    n_pk = 4 if dual else 3
+    table_specs = [
+        pl.BlockSpec(
+            (n_chunks, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    tables = [mini_table]
+    if dual:
+        table_specs.append(
+            pl.BlockSpec(
+                (n_chunks, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        tables.append(bmax_table)
     outs = pl.pallas_call(
         kern,
         grid=(nb,),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, k, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nb, k, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nb, k, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, 8, 128), jnp.int32),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((nb, k, 8, 128), jnp.float32)] * n_pk
+            + [jax.ShapeDtypeStruct((nb, 1, 8, 128), jnp.int32)]
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (n_chunks, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + table_specs
         + [lane_block] * len(ins),
-        out_specs=(out_block, out_block, out_block, cnt_block),
+        out_specs=tuple([out_block] * n_pk + [cnt_block]),
         interpret=_use_interpret(),
-    )(scalars, mini_table, *ins)
+    )(scalars, *tables, *ins)
 
     pk = [
-        o.transpose(1, 0, 2, 3).reshape(k, np_)[:, :n] for o in outs[:3]
+        o.transpose(1, 0, 2, 3).reshape(k, np_)[:, :n] for o in outs[:n_pk]
     ]
-    n_cand = outs[3].reshape(np_)[:n]
-    return pk[0], pk[1], pk[2], n_cand
+    n_cand = outs[n_pk].reshape(np_)[:n]
+    return (*pk, n_cand)
 
 
 _fused_schedule_pack_jit = functools.partial(
@@ -300,7 +400,7 @@ _fused_schedule_pack_jit = functools.partial(
         "gh", "gw", "minis_x", "n_chunks", "s_max", "k",
         "max_small_step", "max_medium_step", "small_step_size",
         "medium_step_size", "marching_thickness", "step_growth",
-        "thickness_growth",
+        "thickness_growth", "dual", "chunks_per_combo",
     ),
 )(_fused_schedule_pack)
 

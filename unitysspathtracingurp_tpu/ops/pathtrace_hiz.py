@@ -171,30 +171,39 @@ def ray_march_hiz(
     # crossing position, with no thickness lower bound.
     is_back_ray = jnp.sum(ray_dir * view_dir, -1) > 0.0
 
+    if dual:
+        # Per-lane (test, back) layer combo from the insideObject state
+        # (hlsl:79-98); constant within one march call.
+        if tiles.n_combos == 1:
+            combo = jnp.zeros((h, w), jnp.int32)
+        elif tiles.n_combos == 2:
+            combo = (inside != 0.0).astype(jnp.int32)
+        else:
+            combo = jnp.clip(inside.astype(jnp.int32), 0, 2)
+        # Lanes that may run the reference's binary search regardless of
+        # per-texel back data: back rays (crossing emulation) and
+        # exiting-refraction lanes (inside==2 never blocks the search,
+        # hlsl:149 insideObject != 2 test).
+        search_lane = is_back_ray
+        if variants.support_refraction:
+            search_lane = search_lane | (inside == 2.0)
+
     # K candidate slots per lane; the fused front half needs it as a
     # static kernel parameter.
     K = min(16, s_max)
     # Fused front half (ops/fused_schedule.py): schedule build + minitile
     # filter + candidate packing in one Pallas kernel, bit-identical to
-    # the unfused phases below (gated by tests/test_fused_schedule.py).
-    # Plain-tiles variant only; _debug_out instrumentation and the dual
-    # variants keep the unfused path.
+    # the unfused phases below (gated by tests/test_fused_schedule.py)
+    # for BOTH table layouts since round 4. _debug_out instrumentation
+    # runs keep the unfused path.
     fused = cfg.fused_schedule
     if fused is None:  # auto: see PTConfig.fused_schedule
         fused = jax.default_backend() == "tpu"
-    use_fused = fused and not dual and _debug_out is None
+    use_fused = fused and _debug_out is None
     if use_fused:
         from .fused_schedule import fused_schedule_pack, schedule_scalars
 
-        pk_cum, pk_scode, pk_hist, n_cand_f = fused_schedule_pack(
-            ray_pos.reshape(-1, 3),
-            ray_dir.reshape(-1, 3),
-            jnp.broadcast_to(dither, (h, w)).reshape(-1),
-            jnp.broadcast_to(large_step, (h, w)).reshape(-1),
-            alive.reshape(-1),
-            is_back_ray.reshape(-1),
-            tiles.mini_table,
-            schedule_scalars(cam),
+        common = dict(
             gh=gh,
             gw=gw,
             minis_x=tiles.minis_x,
@@ -209,8 +218,34 @@ def ray_march_hiz(
             step_growth=cfg.step_growth,
             thickness_growth=cfg.thickness_growth,
         )
+        lane_args = (
+            ray_pos.reshape(-1, 3),
+            ray_dir.reshape(-1, 3),
+            jnp.broadcast_to(dither, (h, w)).reshape(-1),
+            jnp.broadcast_to(large_step, (h, w)).reshape(-1),
+            alive.reshape(-1),
+            is_back_ray.reshape(-1),
+            tiles.mini_table,
+            schedule_scalars(cam),
+        )
+        if dual:
+            pk_cum, pk_scode, pk_hist, pk_step, n_cand_f = (
+                fused_schedule_pack(
+                    *lane_args,
+                    combo.reshape(-1),
+                    search_lane.reshape(-1),
+                    tiles.bmax_table,
+                    dual=True,
+                    chunks_per_combo=tiles.chunks_per_combo,
+                    **common,
+                )
+            )
+        else:
+            pk_cum, pk_scode, pk_hist, n_cand_f = fused_schedule_pack(
+                *lane_args, **common
+            )
+            pk_step = None
         n_cand = n_cand_f.reshape(h, w)
-        pk_step = None
     else:
         # ---- Phase 1: dense schedule build (rebuilds the parity body minus
         # all depth reads; valid up to each lane's first hit).
@@ -302,21 +337,8 @@ def ray_march_hiz(
         # (PathTracing.hlsl:168-190): scene(texel) must lie in that window,
         # and mini_min <= scene(texel) <= mini_max for every texel there.
         if dual:
-            # Per-lane (test, back) layer combo from the insideObject state
-            # (hlsl:79-98); constant within one march call.
-            if tiles.n_combos == 1:
-                combo = jnp.zeros((h, w), jnp.int32)
-            elif tiles.n_combos == 2:
-                combo = (inside != 0.0).astype(jnp.int32)
-            else:
-                combo = jnp.clip(inside.astype(jnp.int32), 0, 2)
-            # Lanes that may run the reference's binary search regardless of
-            # per-texel back data: back rays (crossing emulation) and
-            # exiting-refraction lanes (inside==2 never blocks the search,
-            # hlsl:149 insideObject != 2 test).
-            search_lane = is_back_ray
-            if variants.support_refraction:
-                search_lane = search_lane | (inside == 2.0)
+            # combo / search_lane hoisted above (shared with the fused
+            # front half).
             mini_off = combo * (tiles.chunks_per_combo * 128)
             mini_s = mini_of(ix_s, iy_s, tiles) + mini_off[None]
             packed = broadcast_table_select(
