@@ -19,8 +19,14 @@ iter; one process owns the TPU.
 """
 
 import json
+import os
 import sys
 import time
+
+# In-process path bootstrap (NOT PYTHONPATH: the env var propagates to
+# the axon TPU plugin's helper subprocess and breaks its backend
+# registration on this stack).
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 import jax

@@ -544,15 +544,26 @@ def ray_march_hiz(
                 _debug_out[f"{_pfx}active_r{round_base + _round}"] = (
                     active.sum(dtype=jnp.int32)
                 )
+            # Slot-window bound: the pointer advances by at most `chain`
+            # per round from 0, so in global round r the chain can only
+            # touch slots < (r+1)*chain. Restricting the one-hot
+            # extraction to that static window cuts the (K, lanes)
+            # compare/select/sum traffic by K/window (round 5 ledger).
+            slot_hi = min(K, (round_base + _round + 1) * chain)
             # Extract all chain links' candidates + positions up front
             # (the links' data are independent; only the test logic is
             # ordered).
             links = []
             for j in range(chain):
-                oh_k = k_iota[:, None] == (st["ptr"] + j).reshape(1, lanes)
+                oh_k = (
+                    k_iota[:slot_hi, None]
+                    == (st["ptr"] + j).reshape(1, lanes)
+                )
 
                 def exk(pk, oh_k=oh_k):
-                    return jnp.sum(jnp.where(oh_k, pk, 0.0), 0).reshape(lh, lw)
+                    return jnp.sum(
+                        jnp.where(oh_k, pk[:slot_hi], 0.0), 0
+                    ).reshape(lh, lw)
 
                 cd = exk(st["pk_cum"])
                 scode = exk(st["pk_scode"])

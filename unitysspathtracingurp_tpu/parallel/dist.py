@@ -87,7 +87,7 @@ def make_mesh(n_spp: int = 1, n_tile: int = 1, devices=None) -> Mesh:
 def _dispatch_trace(
     gb, cam, probes, settings, cfg, variants, seed,
     use_hiz, tiles, rng_tables, row0, lane_height, history_sample=None,
-    back_depth_enabled=0,
+    back_depth_enabled=0, n_rounds=None,
 ):
     """Kernel dispatch inside a shard: the hiz wavefront whenever the
     variant set supports it (same production-kernel rule as the
@@ -101,6 +101,7 @@ def _dispatch_trace(
             history_sample=history_sample, rng_tables=rng_tables,
             back_depth_enabled=back_depth_enabled,
             tiles=tiles, row0=row0, lane_height=lane_height,
+            n_rounds=n_rounds,
         )
     return trace_frame(
         gb, cam, probes, settings, cfg, variants, seed,
@@ -131,10 +132,14 @@ def trace_frame_sharded(
     use_hiz: bool = False,
     tiles=None,
     rng_tables=None,
+    n_rounds=None,
 ):
     """Trace one frame over the mesh: each (spp, tile) chip traces its row
     band with its own RNG stream; results are mean-reduced over 'spp' and
     concatenated (left sharded) over 'tile'.
+
+    ``n_rounds`` caps the hiz resolve-round budget (pathtrace_hiz
+    default_rounds otherwise); the dryrun uses it to bound compile size.
 
     Returns the full (H, W, 3) frame, sharded over rows on 'tile'.
     """
@@ -164,7 +169,7 @@ def trace_frame_sharded(
         img = _dispatch_trace(
             gb_rep, cam_rep, probes_rep, settings, cfg, variants,
             seed_shard[0], use_hiz, tiles_rep, tables_rep,
-            row0, block_h,
+            row0, block_h, n_rounds=n_rounds,
         )
         # The one required collective: mean over the sample axis (ICI psum).
         return jax.lax.pmean(img, "spp")
@@ -215,6 +220,7 @@ def realtime_step_sharded(
     use_hiz: bool = False,
     tiles=None,
     rng_tables=None,
+    n_rounds=None,
 ):
     """One real-time (temporal + À-Trous) step over the mesh
     (SURVEY.md §5.8; VERDICT r1 item 6).
@@ -272,7 +278,7 @@ def realtime_step_sharded(
             gb_rep, cam_rep, probes_rep, settings, cfg, variants,
             seed_shard[0], use_hiz, tiles_rep, tables_rep, row0, bh,
             history_sample=state_rep.history_sample,
-            back_depth_enabled=back_depth_enabled,
+            back_depth_enabled=back_depth_enabled, n_rounds=n_rounds,
         )
         traced = jax.lax.pmean(traced, "spp")
 
@@ -341,6 +347,7 @@ def render_step_sharded(
     use_hiz: bool = False,
     tiles=None,
     rng_tables=None,
+    n_rounds=None,
 ):
     """Full offline-accumulation step over the mesh — trace (sharded) +
     progressive average. The accumulation buffer stays row-sharded on
@@ -349,5 +356,6 @@ def render_step_sharded(
     frame = trace_frame_sharded(
         mesh, gb, cam, probes, settings, cfg, variants, frame_index, height,
         use_hiz=use_hiz, tiles=tiles, rng_tables=rng_tables,
+        n_rounds=n_rounds,
     )
     return frame, offline_accumulate(accum, frame, max_sample)
