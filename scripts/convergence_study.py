@@ -7,7 +7,7 @@ convergence, PathTracingUtilities.hlsl:78-99 / Documentation.md:28).
 BoxScene 256², 1 bounce, offline accumulation. Measures 4x4-pooled
 relative RMSE vs the cached 16384-frame golden as a function of
 accumulated frames, for both noise methods; reports frames-to-<=1% and
-writes the curves to fixtures/convergence_r4.json.
+writes the curves to fixtures/convergence_r5.json.
 
 Run on TPU: python scripts/convergence_study.py [--max 4096]
 """
@@ -24,7 +24,7 @@ GOLDEN_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "box256_golden.npz"
 )
 OUT_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "convergence_r4.json"
+    os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "convergence_r5.json"
 )
 
 

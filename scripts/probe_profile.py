@@ -4,7 +4,10 @@ Captures a jax.profiler trace of the R=4 1080p frame and prints the
 top HLO ops by self time (via tensorboard_plugin_profile's xplane
 converter) — replaces ablation guesswork with measured attribution.
 
-Usage: python scripts/probe_profile.py [comp]   (comp = with compaction)
+Usage: python scripts/probe_profile.py [comp|headline]
+  comp     = r3-era compaction caps
+  headline = the EXACT shipped bench config (PTConfig.boxscene_headline:
+             tight caps + fused front half) — round-5 attribution
 """
 
 import glob
@@ -31,14 +34,20 @@ H, W = 1080, 1920
 
 
 def main():
-    comp = len(sys.argv) > 1 and sys.argv[1] == "comp"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "dense"
+    comp = mode == "comp"
     sc = scene.build_box_scene()
     cam = fixtures.box_scene_camera(H, W)
     gb = fixtures.rasterize_gbuffers(sc, cam, H, W)
     probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
     settings = PTSettings(maximum_depth=4, samples_per_pixel=1,
                           maximum_steps=24, dithering=False)
-    cfg = PTConfig(compaction_caps=(1.0, 0.5, 0.3125, 0.25)) if comp else PTConfig()
+    if mode == "headline":
+        cfg = PTConfig.boxscene_headline()
+    elif comp:
+        cfg = PTConfig(compaction_caps=(1.0, 0.5, 0.3125, 0.25))
+    else:
+        cfg = PTConfig()
     variants = settings.variants()
     tiles = jax.jit(build_depth_tiles)(gb.layer1_depth(), cam.near, cam.far)
     fi = jnp.uint32(33)
@@ -58,7 +67,7 @@ def main():
         float(f(gb, cam, probes, fi))
     print(f"frame: {(time.perf_counter()-t0)/3*1000:.1f} ms", flush=True)
 
-    logdir = "/tmp/jax_trace_" + ("comp" if comp else "dense")
+    logdir = "/tmp/jax_trace_" + mode
     with jax.profiler.trace(logdir):
         for _ in range(3):
             float(f(gb, cam, probes, fi))

@@ -17,7 +17,7 @@ Usage:
   python scripts/quality_headline.py --kernel hiz --frames N --out F
                                                      # one-kernel worker
 
-Writes fixtures/quality_headline_r4.json + prints one JSON line.
+Writes fixtures/quality_headline_r5.json + prints one JSON line.
 """
 
 import json
@@ -54,16 +54,37 @@ def worker(kernel: str, frames: int, out_path: str) -> None:
     from unitysspathtracingurp_tpu.models import fixtures, scene
     from unitysspathtracingurp_tpu.ops.envprobe import ProbeSet, constant_probe
 
-    sc = scene.build_box_scene()
-    cam = fixtures.box_scene_camera(H, W)
-    gb = fixtures.rasterize_gbuffers(sc, cam, H, W)
+    dual = "--dual" in sys.argv
+    if dual:
+        # The refraction/backface variant at production scale (VERDICT
+        # r4 item 5): glass BoxScene, 3-layer depth + backface
+        # thickness — the dual fused front half + DualDepthTiles march.
+        from unitysspathtracingurp_tpu.config import ThicknessMode
+
+        sc = scene.build_box_scene(with_glass=True, with_mirror=False)
+        cam = fixtures.box_scene_camera(H, W)
+        settings = PTSettings(
+            maximum_depth=3,
+            samples_per_pixel=1,
+            maximum_steps=STEPS,
+            dithering=False,
+            support_refraction=True,
+            accurate_thickness=ThicknessMode.DEPTH_NORMALS,
+        )
+        gb = fixtures.rasterize_gbuffers(
+            sc, cam, H, W, with_backface=True
+        )
+    else:
+        sc = scene.build_box_scene()
+        cam = fixtures.box_scene_camera(H, W)
+        gb = fixtures.rasterize_gbuffers(sc, cam, H, W)
+        settings = PTSettings(
+            maximum_depth=BOUNCES,
+            samples_per_pixel=1,
+            maximum_steps=STEPS,
+            dithering=False,
+        )
     probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
-    settings = PTSettings(
-        maximum_depth=BOUNCES,
-        samples_per_pixel=1,
-        maximum_steps=STEPS,
-        dithering=False,
-    )
     # The exact headline bench config (PTConfig.boxscene_headline, the
     # definition bench.py measures); hiz additionally prebuilds the
     # static tiles. --unfused forces the XLA front half (r3 diagnosis:
@@ -77,14 +98,14 @@ def worker(kernel: str, frames: int, out_path: str) -> None:
     )
     variants = settings.variants()
 
+    bde = int(settings.accurate_thickness.value) if dual else 0
     if kernel == "hiz":
-        from unitysspathtracingurp_tpu.ops.depth_tiles import build_depth_tiles
         from unitysspathtracingurp_tpu.ops.pathtrace_hiz import trace_frame_hiz
 
-        tiles = jax.jit(build_depth_tiles)(gb.layer1_depth(), cam.near, cam.far)
         fn = jax.jit(
             lambda fi: trace_frame_hiz(
-                gb, cam, probes, settings, cfg, variants, fi, tiles=tiles
+                gb, cam, probes, settings, cfg, variants, fi,
+                back_depth_enabled=bde,
             )
         )
     else:
@@ -92,7 +113,8 @@ def worker(kernel: str, frames: int, out_path: str) -> None:
 
         fn = jax.jit(
             lambda fi: trace_frame(
-                gb, cam, probes, settings, cfg, variants, fi
+                gb, cam, probes, settings, cfg, variants, fi,
+                back_depth_enabled=bde,
             )
         )
 
@@ -136,9 +158,11 @@ def compare(path_hiz: str, path_xla: str, frames: int) -> dict:
     rel = np.where(pooled_mask, d / r, 0.0)
     frac_over_5pct = float((rel > 0.05).mean())
     frac_over_1pct = float((rel > 0.01).mean())
+    dual = "--dual" in sys.argv
     return {
         "metric": "hiz-vs-parity converged deviation "
-        f"(BoxScene {W}x{H}, {BOUNCES} bounces, {STEPS} steps, "
+        f"({'glass BoxScene, refraction+backface' if dual else 'BoxScene'} "
+        f"{W}x{H}, {3 if dual else BOUNCES} bounces, {STEPS} steps, "
         "common seed stream)",
         "frames": frames,
         "pooled_rel_rmse": round(float(pooled), 4),
@@ -156,9 +180,11 @@ def main():
         worker(kernel, frames, _arg("--out"))
         return 0
 
+    dual = "--dual" in sys.argv
+    sfx = "_dual" if dual else ""
     outs = {}
     for k in ("hiz", "xla"):
-        outs[k] = f"/tmp/quality_headline_{k}.npz"
+        outs[k] = f"/tmp/quality_headline{sfx}_{k}.npz"
         if os.path.exists(outs[k]) and "--reuse" in sys.argv:
             print(f"# reusing {outs[k]}", file=sys.stderr)
             continue
@@ -166,7 +192,8 @@ def main():
             [
                 sys.executable, "-u", os.path.abspath(__file__),
                 "--kernel", k, "--frames", str(frames), "--out", outs[k],
-            ],
+            ]
+            + (["--dual"] if dual else []),
             cwd=ROOT,
         )
         if rc != 0:
@@ -174,7 +201,7 @@ def main():
             return 1
 
     result = compare(outs["hiz"], outs["xla"], frames)
-    art = os.path.join(ROOT, "fixtures", "quality_headline_r4.json")
+    art = os.path.join(ROOT, "fixtures", f"quality_headline{sfx}_r5.json")
     with open(art, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
