@@ -89,6 +89,13 @@ def main():
     # cost shrinks with the alive fraction.
     if not small:
         cfg = PTConfig.boxscene_headline()
+    # A/B override for the round-5 resolve levers (default None = auto).
+    if os.environ.get("BENCH_PALLAS_EXTRACT") in ("0", "1"):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, pallas_extract=os.environ["BENCH_PALLAS_EXTRACT"] == "1"
+        )
 
     if os.environ.get("BENCH_VIA") == "renderer":
         # Drive the frame THROUGH the product orchestrator

@@ -263,3 +263,50 @@ def test_hiz_converged_equivalence():
     # with resolution (structures have fixed pixel footprints); rounds
     # beyond the default change it by <0.3%.
     assert rel < 0.03, f"pooled converged rel RMSE {rel:.4f}"
+
+
+def test_extract_chain_matches_onehot():
+    """pallas_gather.extract_chain == the XLA one-hot mask-sum form,
+    bit-exactly, including out-of-window (ptr+j >= slot_hi) zeros."""
+    from unitysspathtracingurp_tpu.ops.pallas_gather import extract_chain
+
+    rng = np.random.default_rng(5)
+    k, n, chain, slot_hi = 16, 700, 4, 12
+    fields = [
+        jnp.asarray(rng.uniform(size=(k, n)).astype(np.float32) * 1e4)
+        for _ in range(3)
+    ]
+    ptr = jnp.asarray(rng.integers(0, k + 2, size=(n,)).astype(np.int32))
+    got = extract_chain(fields, ptr, chain, slot_hi)
+    for f, g in zip(fields, got):
+        fnp = np.asarray(f)
+        pnp = np.asarray(ptr)
+        for j in range(chain):
+            sel = pnp + j
+            want = np.where(
+                sel < slot_hi, fnp[np.clip(sel, 0, k - 1), np.arange(n)], 0.0
+            )
+            np.testing.assert_array_equal(np.asarray(g)[j], want)
+
+
+def test_hiz_pallas_extract_matches_onehot_frame():
+    """Whole-frame gate for PTConfig.pallas_extract: the Pallas
+    chain-extraction resolve must be BIT-IDENTICAL to the XLA one-hot
+    form (same candidates, same tests, same radiance)."""
+    h, w = 128, 256
+    sc = scene.build_box_scene()
+    cam = fixtures.box_scene_camera(h, w)
+    gb = fixtures.rasterize_gbuffers(sc, cam, h, w)
+    probes = ProbeSet(probe0=constant_probe([0.05, 0.06, 0.08]))
+    settings = PTSettings(maximum_depth=2, samples_per_pixel=1,
+                          maximum_steps=24, dithering=False)
+    variants = settings.variants()
+    a = pathtrace_hiz.trace_frame_hiz(
+        gb, cam, probes, settings, PTConfig(pallas_extract=True), variants,
+        jnp.uint32(7),
+    )
+    b = pathtrace_hiz.trace_frame_hiz(
+        gb, cam, probes, settings, PTConfig(pallas_extract=False), variants,
+        jnp.uint32(7),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

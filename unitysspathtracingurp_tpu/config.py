@@ -145,6 +145,14 @@ class PTConfig:
     # interpreted s_max-step kernel body into every enclosing jit).
     fused_schedule: bool | None = None
 
+    # TPU tuning (no behavioral effect, gated by
+    # tests/test_hiz.py::test_extract_chain_matches_onehot): extract
+    # each resolve round's chain-link candidates with ONE Pallas pass
+    # over the (K, N) slot tables (pallas_gather.extract_chain) instead
+    # of chain x fields separate XLA one-hot mask-sums. None = auto:
+    # Pallas on TPU, XLA elsewhere.
+    pallas_extract: bool | None = None
+
     # TPU tuning (no behavioral effect beyond f32 interpolation of
     # bf16 history, gated by tests/test_temporal.py): fetch the five
     # temporal-history reads (depth/emission point, sample/color

@@ -202,6 +202,61 @@ def pack_by_slot(cand: jnp.ndarray, fields, k: int):
     return packed, outs[nf][0, :n]
 
 
+def extract_chain(fields, ptr: jnp.ndarray, chain: int, slot_hi: int):
+    """out[f][j, n] = fields[f][ptr[n] + j, n] (0 when ptr+j >= slot_hi).
+
+    One resolve round's candidate extraction for all ``chain`` links at
+    once (ops/pathtrace_hiz.py phase 4): each field is a (K, N) slot
+    table, ``ptr`` the per-lane resolve pointer. The XLA equivalent is
+    chain x len(fields) separate one-hot mask-sums over (slot_hi, N) —
+    ~one full HBM pass over the slot tables per mask — while this
+    kernel streams each table once per round and does the
+    chain x slot_hi compare/select tree in VMEM. Bit-identical: the
+    one-hot sum has at most one nonzero term, so sum == select.
+    """
+    k, n = fields[0].shape
+    slot_hi = min(slot_hi, k)
+    nf = len(fields)
+    cols = 512
+    n_pad = -(-n // cols) * cols
+    k_pad = -(-k // 8) * 8
+    fp = [jnp.pad(f, ((0, k_pad - k), (0, n_pad - n))) for f in fields]
+    pp = jnp.pad(ptr.astype(jnp.int32).reshape(1, -1), ((0, 0), (0, n_pad - n)))
+
+    def kern(*refs):
+        p_ref = refs[0]
+        f_refs = refs[1 : 1 + nf]
+        o_refs = refs[1 + nf :]
+        ptrv = p_ref[:]  # (1, cols)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (slot_hi, ptrv.shape[1]), 0)
+        for f_ref, o_ref in zip(f_refs, o_refs):
+            f = f_ref[:slot_hi]
+            for j in range(chain):
+                m = iota == (ptrv + j)
+                o_ref[j : j + 1, :] = jnp.sum(
+                    jnp.where(m, f, 0.0), axis=0, keepdims=True
+                )
+
+    c_pad = -(-chain // 8) * 8
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_pad // cols,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((c_pad, n_pad), jnp.float32) for _ in range(nf)
+        ),
+        in_specs=[pl.BlockSpec((1, cols), lambda i: (0, i), memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec((k_pad, cols), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ] * nf,
+        out_specs=tuple(
+            [pl.BlockSpec((c_pad, cols), lambda i: (0, i), memory_space=pltpu.VMEM)]
+            * nf
+        ),
+        interpret=_use_interpret(),
+    )(pp, *fp)
+    return [o[:chain, :n] for o in outs]
+
+
 def row_gather(table: jnp.ndarray, row_idx: jnp.ndarray) -> jnp.ndarray:
     """rows[i] = table[row_idx[i], :] — the XLA wide row gather.
 

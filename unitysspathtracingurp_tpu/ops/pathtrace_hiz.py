@@ -552,18 +552,43 @@ def ray_march_hiz(
             slot_hi = min(K, (round_base + _round + 1) * chain)
             # Extract all chain links' candidates + positions up front
             # (the links' data are independent; only the test logic is
-            # ordered).
+            # ordered). Two bit-identical forms (PTConfig.pallas_extract):
+            # the Pallas kernel streams each slot table once per round;
+            # the XLA fallback runs chain x fields one-hot mask-sums.
+            use_pex = cfg.pallas_extract
+            if use_pex is None:
+                use_pex = jax.default_backend() == "tpu"
+            if use_pex:
+                from .pallas_gather import extract_chain
+
+                pk_fields = [st["pk_cum"], st["pk_scode"], st["pk_hist"]]
+                if dual:
+                    pk_fields.append(st["pk_step"])
+                ext = extract_chain(
+                    pk_fields, st["ptr"].reshape(-1), chain, slot_hi
+                )
+            else:
+                ext = None
             links = []
             for j in range(chain):
-                oh_k = (
-                    k_iota[:slot_hi, None]
-                    == (st["ptr"] + j).reshape(1, lanes)
-                )
+                if ext is not None:
 
-                def exk(pk, oh_k=oh_k):
-                    return jnp.sum(
-                        jnp.where(oh_k, pk[:slot_hi], 0.0), 0
-                    ).reshape(lh, lw)
+                    def exk(pk, j=j, ext=ext, pk_fields=pk_fields):
+                        for fi_, f_ in enumerate(pk_fields):
+                            if f_ is pk:
+                                return ext[fi_][j].reshape(lh, lw)
+                        raise KeyError("field not extracted")
+
+                else:
+                    oh_k = (
+                        k_iota[:slot_hi, None]
+                        == (st["ptr"] + j).reshape(1, lanes)
+                    )
+
+                    def exk(pk, oh_k=oh_k):
+                        return jnp.sum(
+                            jnp.where(oh_k, pk[:slot_hi], 0.0), 0
+                        ).reshape(lh, lw)
 
                 cd = exk(st["pk_cum"])
                 scode = exk(st["pk_scode"])
