@@ -89,13 +89,25 @@ def main():
     # cost shrinks with the alive fraction.
     if not small:
         cfg = PTConfig.boxscene_headline()
-    # A/B override for the round-5 resolve levers (default None = auto).
-    if os.environ.get("BENCH_PALLAS_EXTRACT") in ("0", "1"):
-        import dataclasses
+    # A/B overrides for the round-5 resolve levers (default None = auto).
+    import dataclasses
 
+    if os.environ.get("BENCH_PALLAS_EXTRACT") in ("0", "1"):
         cfg = dataclasses.replace(
             cfg, pallas_extract=os.environ["BENCH_PALLAS_EXTRACT"] == "1"
         )
+    if os.environ.get("BENCH_HOME") in ("0", "1"):
+        cfg = dataclasses.replace(
+            cfg, hiz_home_prefix=os.environ["BENCH_HOME"] == "1"
+        )
+    if os.environ.get("BENCH_HOME_CAP"):
+        cfg = dataclasses.replace(
+            cfg, hiz_home_round_cap=float(os.environ["BENCH_HOME_CAP"])
+        )
+    bench_rounds = (
+        int(os.environ["BENCH_ROUNDS"]) if os.environ.get("BENCH_ROUNDS")
+        else None
+    )
 
     if os.environ.get("BENCH_VIA") == "renderer":
         # Drive the frame THROUGH the product orchestrator
@@ -140,7 +152,8 @@ def main():
 
         def traced(gb, cam, probes, fi):
             return trace(
-                gb, cam, probes, settings, cfg, variants, fi, tiles=tiles
+                gb, cam, probes, settings, cfg, variants, fi, tiles=tiles,
+                n_rounds=bench_rounds,
             )
 
     else:

@@ -145,12 +145,33 @@ class PTConfig:
     # interpreted s_max-step kernel body into every enclosing jit).
     fused_schedule: bool | None = None
 
+    # TPU tuning (no behavioral effect, gated order-exact by
+    # tests/test_home_prefix.py): the fused schedule kernel
+    # exact-tests each lane's leading candidates that fall inside the
+    # lane block's home depth strip (±1 band / ±1 pair of the lane's
+    # own 32x8-px window, held in VMEM) with the resolve rounds' own
+    # hit rule, so most screen-ordered lanes enter the rounds already
+    # resolved (83% of first candidates are in the home window,
+    # measured 512²). Applies only where the lanes are the pixel grid
+    # (bounce 0, unsharded, spp 1, plain tiles); None = auto (on).
+    hiz_home_prefix: bool | None = None
+
+    # TPU tuning: resolve-round lane compaction for the home-prefixed
+    # march (fraction of lanes, same contract as hiz_round_cap but
+    # applied from round 1 — the prefix already resolved most lanes,
+    # so unlike the dense case the re-domaining pays for itself).
+    # None disables.
+    hiz_home_round_cap: float | None = None
+
     # TPU tuning (no behavioral effect, gated by
     # tests/test_hiz.py::test_extract_chain_matches_onehot): extract
     # each resolve round's chain-link candidates with ONE Pallas pass
     # over the (K, N) slot tables (pallas_gather.extract_chain) instead
-    # of chain x fields separate XLA one-hot mask-sums. None = auto:
-    # Pallas on TPU, XLA elsewhere.
+    # of chain x fields separate XLA one-hot mask-sums. MEASURED
+    # NEGATIVE at the headline (47.08 XLA vs 43.79 Pallas, round 5):
+    # the one-hot sums fuse into the round graph while a pallas_call
+    # input forces the slot tables through HBM unfused (same mechanism
+    # as the r3 rowwise_select result). None = off (the XLA form).
     pallas_extract: bool | None = None
 
     # TPU tuning (no behavioral effect beyond f32 interpolation of

@@ -261,6 +261,36 @@ def variant_combos(gb, variants):
     return [(layer1, back)]
 
 
+def build_home_strips(tiles: DepthTiles, h: int, w: int) -> jnp.ndarray:
+    """Per-lane-block home depth strips for the fused schedule kernel's
+    prefix resolve (ops/fused_schedule.py home mode).
+
+    For each (8, 128)-pixel lane block (by, bx) of a screen-ordered
+    frame, gathers the pair_table rows of HOME_BANDS vertical 8-px
+    bands x HOME_PAIRS horizontal 32-px pair windows centered on the
+    block: bands by-1..by+1, pairs bx*4-1..bx*4+4. Out-of-image strip
+    rows are zero (the sky sentinel) — unreachable anyway, since
+    candidate pixel indices are clamped to the image. Dense slicing
+    only; ~3x the pair table's footprint, built once per depth buffer.
+
+    Returns (h//8, w//128, HOME_BANDS*HOME_PAIRS, 128) f32.
+    """
+    from .fused_schedule import HOME_BANDS, HOME_PAIRS
+
+    assert h % TILE_H == 0 and w % 128 == 0
+    nby, nbx = h // TILE_H, w // 128
+    ppb = 128 // (2 * TILE_W)  # pairs per lane block (4)
+    bands = tiles.pair_table.reshape(-1, tiles.pairs_x, 128)[:nby]
+    pad_b = HOME_BANDS // 2
+    padded = jnp.pad(bands, ((pad_b, pad_b), (1, HOME_PAIRS - ppb - 1), (0, 0)))
+    rows = []
+    for bj in range(HOME_BANDS):
+        band = padded[bj : bj + nby]
+        for pj in range(HOME_PAIRS):
+            rows.append(band[:, pj : pj + ppb * (nbx - 1) + 1 : ppb])
+    return jnp.stack(rows, 2)
+
+
 def tile_of(ix: jnp.ndarray, iy: jnp.ndarray, tiles):
     """(tile_row, texel_word) of pixel (iy, ix) in single-tile rows."""
     row = (iy // TILE_H) * tiles.tiles_x + (ix // TILE_W)

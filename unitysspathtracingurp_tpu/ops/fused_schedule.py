@@ -101,6 +101,20 @@ def _unpack_minmax_vec_signed(word_f32):
     )
 
 
+# Home-strip geometry (round-5 prefix resolve): per (8, 128) lane
+# block of a screen-ordered frame, the depth pair rows of 3 vertical
+# 8-px bands x 6 horizontal 32-px pairs centered on the block — every
+# candidate within ±1 band / ±1 pair of the lane's own window can be
+# exact-tested inside the schedule kernel (see fused_schedule_pack
+# home mode + ops/pathtrace_hiz.build_home_strips).
+HOME_BANDS = 3
+HOME_PAIRS = 6
+# Home slots: the prefix tests at most this many leading in-strip
+# candidates per lane (further in-strip candidates fall back to the
+# pack slots — semantics-free, the prefix just ends earlier).
+HOME_SLOTS = 4
+
+
 def fused_schedule_pack(*args, **kwargs):
     """Jit wrapper: on TPU the kernel is jitted as usual; in interpret
     mode (CPU CI) it runs EAGERLY — jitting the interpreted kernel
@@ -140,13 +154,39 @@ def _fused_schedule_pack(
     thickness_growth: float,
     dual: bool = False,
     chunks_per_combo: int = 0,
+    home_strips=None,   # (nby, nbx, HOME_BANDS*HOME_PAIRS, 128) f32
+    home_shape=None,    # static (h, w): lanes are screen-ordered
 ):
     """Returns (pk_cum, pk_scode, pk_hist[, pk_step]) each (k, N) f32
     plus n_cand (N,) i32 — the exact outputs of the unfused
     phase-1/2/3 chain (ops/pathtrace_hiz.py) for the plain- or
-    dual-DepthTiles variant."""
+    dual-DepthTiles variant.
+
+    Home mode (``home_strips``/``home_shape`` set, plain layout only):
+    lanes must be the screen-ordered pixel grid (h, w) flattened
+    row-major with h % 8 == 0, w % 128 == 0. The kernel additionally
+    exact-tests the leading run of each lane's candidates that falls
+    inside the lane block's home strip (±1 band / ±1 pair of its own
+    32x8-px depth window) against the real f16 pair depths held in
+    VMEM — the same test a resolve round (ops/pathtrace_hiz.py phase
+    4) would apply, on the same re-derived candidate position and
+    quantized metadata, so the outcome is order-exact: tested-and-hit
+    lanes pack NOTHING (the march ended before any packed candidate),
+    tested-and-failed candidates are consumed (not packed), and the
+    first out-of-strip candidate ends the prefix (everything after is
+    packed untested, preserving first-hit order for the rounds).
+    Returns an extra (11, N) f32 array: [hit, cum, diff, th, hitd,
+    lcum, lhd, pidx, ixy, prev_diff, prev_sidx] — the resolve-state
+    init for phase 4."""
+    home = home_strips is not None
+    assert not (home and dual), "home prefix: plain layout only"
     n = ray_pos.shape[0]
-    pad = (-n) % _LANES_PER_BLOCK
+    if home:
+        hh, hw = home_shape
+        assert hh % 8 == 0 and hw % 128 == 0 and hh * hw == n
+        pad = 0
+    else:
+        pad = (-n) % _LANES_PER_BLOCK
     if pad:
         ray_pos = jnp.pad(ray_pos, ((0, pad), (0, 0)))
         ray_dir = jnp.pad(ray_dir, ((0, pad), (0, 0)))
@@ -162,7 +202,7 @@ def _fused_schedule_pack(
     rows = np_ // 128
 
     def r128(x):
-        return x.reshape(rows, 128)
+        return x.reshape((hh, hw) if home else (rows, 128))
 
     ins = [
         r128(ray_pos[:, 0]), r128(ray_pos[:, 1]), r128(ray_pos[:, 2]),
@@ -187,9 +227,14 @@ def _fused_schedule_pack(
         if dual:
             btab_ref = refs[0]
             refs = refs[1:]
+        if home:
+            strip_ref = refs[0]
+            refs = refs[1:]
         in_refs = refs[: len(ins)]
         if dual:
             o_cum, o_scode, o_hist, o_step, o_cnt = refs[len(ins):]
+        elif home:
+            o_cum, o_scode, o_hist, o_cnt, o_home = refs[len(ins):]
         else:
             o_cum, o_scode, o_hist, o_cnt = refs[len(ins):]
         px = in_refs[0][:]
@@ -235,6 +280,31 @@ def _fused_schedule_pack(
         if dual:
             slots_step = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
             combo_off = lane_combo * (chunks_per_combo * 128)
+        if home:
+            # Prefix-capture state (see docstring). The step loop only
+            # ROUTES candidates (leading in-strip run -> home slots,
+            # everything after the first packed candidate -> the pack
+            # slots) and captures the slot metadata; the exact tests
+            # run once per home slot AFTER the loop (the in-loop
+            # formulation put ~430 strip gathers in the body and blew
+            # both the interpret-mode XLA:CPU compile and the VPU
+            # budget). px0..pz0 are the march ORIGIN: the post-loop
+            # test re-derives the candidate position as origin +
+            # cum*dir — the resolve rounds' own formulation — because
+            # the iteratively accumulated position rounds differently
+            # at window edges.
+            px0, py0, pz0 = px, py, pz
+            by = pl.program_id(0)
+            bx = pl.program_id(1)
+            prefix = jnp.full(shape, True)
+            run_home = jnp.zeros(shape, jnp.int32)
+            hp = min(HOME_SLOTS, k)
+            hs_cum = [jnp.zeros(shape, jnp.float32) for _ in range(hp)]
+            hs_th = [jnp.zeros(shape, jnp.float32) for _ in range(hp)]
+            hs_lcum = [jnp.zeros(shape, jnp.float32) for _ in range(hp)]
+            hs_lhd = [jnp.zeros(shape, jnp.float32) for _ in range(hp)]
+            hs_pidx = [jnp.zeros(shape, jnp.float32) for _ in range(hp)]
+            hs_sidx = [jnp.zeros(shape, jnp.float32) for _ in range(hp)]
 
         q40 = lambda x, mx: jnp.clip(jnp.round(x * 40.0), 0.0, mx)  # noqa: E731
 
@@ -318,8 +388,40 @@ def _fused_schedule_pack(
                 + q40(th, th_cap) * 8192.0
             )
             hist = q40(lcum, 4095.0) * 4096.0 + q40(lhd, 4095.0)
+            pack = cand
+            if home:
+                # ---- Prefix routing. The in-strip test uses the
+                # ITERATIVE pixel coords (already computed for the
+                # minitile filter) against the strip bounds SHRUNK by
+                # one pixel: the post-loop exact test re-derives the
+                # position (origin + cum*dir), which can differ from
+                # the iterative one by at most one texel at a floor()
+                # boundary — the shrink guarantees the re-derived
+                # texel still lies inside the fetched strip, keeping
+                # the routing decision semantics-free.
+                y0 = by * 8
+                x0 = bx * 128
+                route = (
+                    cand & prefix & (run_home < hp)
+                    & (iy >= y0 - 7) & (iy <= y0 + 14)
+                    & (ix >= x0 - 31) & (ix <= x0 + 158)
+                )
+                # Any candidate not routed (out-of-strip, or slots
+                # full) is packed and ends the prefix: every routed
+                # candidate strictly precedes every packed one.
+                pack = cand & ~route
+                prefix = prefix & ~pack
+                for j in range(hp):
+                    mj = route & (run_home == j)
+                    hs_cum[j] = jnp.where(mj, cum, hs_cum[j])
+                    hs_th[j] = jnp.where(mj, th, hs_th[j])
+                    hs_lcum[j] = jnp.where(mj, lcum, hs_lcum[j])
+                    hs_lhd[j] = jnp.where(mj, lhd, hs_lhd[j])
+                    hs_pidx[j] = jnp.where(mj, pidx, hs_pidx[j])
+                    hs_sidx[j] = jnp.where(mj, float(i - 1), hs_sidx[j])
+                run_home = run_home + route.astype(jnp.int32)
             for j in range(k):
-                mj = cand & (run == j)
+                mj = pack & (run == j)
                 slots_cum[j] = jnp.where(mj, cum, slots_cum[j])
                 slots_scode[j] = jnp.where(mj, scode, slots_scode[j])
                 slots_hist[j] = jnp.where(mj, hist, slots_hist[j])
@@ -329,7 +431,7 @@ def _fused_schedule_pack(
                     slots_step[j] = jnp.where(
                         mj, q40(step, 4095.0), slots_step[j]
                     )
-            run = run + cand.astype(jnp.int32)
+            run = run + pack.astype(jnp.int32)
 
             step = jnp.where(proc, step + step * step_growth, step)
             th = jnp.where(
@@ -342,13 +444,175 @@ def _fused_schedule_pack(
             pidx = jnp.where(proc, float(i - 1), pidx)
             marching = marching & ~exit_now
 
-        for j in range(k):
-            o_cum[0, j] = slots_cum[j]
-            o_scode[0, j] = slots_scode[j]
-            o_hist[0, j] = slots_hist[j]
-            if dual:
-                o_step[0, j] = slots_step[j]
-        o_cnt[0, 0] = jnp.minimum(run, k)
+        if home:
+            # ---- Post-loop prefix exact tests: resolve-round
+            # semantics (phase 4's plain-path hit rule on the
+            # re-derived position + quantized metadata, bit-for-bit),
+            # one strip select per home slot, in slot (= step) order.
+            strip = strip_ref[0, 0]  # (HOME_BANDS*HOME_PAIRS, 128)
+            hitf = jnp.zeros(shape, bool)
+            h_cum = jnp.zeros(shape, jnp.float32)
+            h_diff = jnp.zeros(shape, jnp.float32)
+            h_th = jnp.zeros(shape, jnp.float32)
+            h_hitd = jnp.zeros(shape, jnp.float32)
+            h_lcum = jnp.zeros(shape, jnp.float32)
+            h_lhd = jnp.zeros(shape, jnp.float32)
+            h_pidx = jnp.zeros(shape, jnp.float32)
+            h_ixy = jnp.zeros(shape, jnp.float32)
+            pdiff = jnp.zeros(shape, jnp.float32)
+            psidx = jnp.full(shape, -1.0, jnp.float32)
+            for j in range(hp):
+                mj = run_home > j
+                cum_j = hs_cum[j]
+                th_qj = q40(hs_th[j], th_cap) * 0.025
+                tx = px0 + cum_j * dx
+                ty2 = py0 + cum_j * dy
+                tz = pz0 + cum_j * dz
+                u2, v2, raw2 = project(tx, ty2, tz)
+                hitd2 = 1.0 / (raw2 * zz + zw)
+                ix2 = jnp.clip(jnp.floor(u2 * gw).astype(jnp.int32), 0, gw - 1)
+                iy2 = jnp.clip(jnp.floor(v2 * gh).astype(jnp.int32), 0, gh - 1)
+                srow = ((iy2 >> 3) - (by - 1)) * HOME_PAIRS + (
+                    (ix2 >> 5) - (bx * 4 - 1)
+                )
+                # Occupied slots are in-strip by the routing shrink;
+                # clamp only to keep masked lanes' selects in range.
+                srow = jnp.clip(srow, 0, HOME_BANDS * HOME_PAIRS - 1)
+                texel = ((iy2 & 7) << 4) | (ix2 & 15)
+                high = (ix2 >> 4) & 1
+                word = jnp.zeros(shape, jnp.float32)
+                for r in range(HOME_BANDS * HOME_PAIRS):
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(strip[r : r + 1, :], shape),
+                        texel, axis=1,
+                    )
+                    word = jnp.where(srow == r, g, word)
+                ub = jax.lax.bitcast_convert_type(word, jnp.uint32)
+                bits16 = jnp.where(
+                    high == 1, ub >> 16, ub & jnp.uint32(0xFFFF)
+                )
+                # Exact f16->f32 widening incl. subnormals (raw depth
+                # lives in [0, 1]: sign/inf/nan impossible), matching
+                # XLA's astype bit-for-bit. (uint32 -> f32 casts don't
+                # lower on Mosaic; mant < 1024 so the int32 hop is
+                # exact.)
+                mant = (bits16 & jnp.uint32(0x3FF)).astype(jnp.int32)
+                nrm = jax.lax.bitcast_convert_type(
+                    (bits16 + jnp.uint32(112 << 10)) << 13, jnp.float32
+                )
+                d_raw = jnp.where(
+                    (bits16 >> 10) == 0,
+                    mant.astype(jnp.float32) * (2.0 ** -24),
+                    nrm,
+                )
+                is_sky = bits16 == 0
+                scene = 1.0 / (d_raw * zz + zw)
+                dd = scene - hitd2
+                halv = jnp.ceil(
+                    jnp.log2(
+                        jnp.maximum(-dd / jnp.maximum(th_qj, 1e-6), 1.0)
+                    )
+                )
+                budget_ok = hs_sidx[j] + 1.0 + halv <= float(s_max)
+                ok = mj & ~hitf
+                hit_j = (
+                    ok & (dd <= 0.0) & ~is_sky
+                    & ((dd >= -th_qj) | (backray & budget_ok))
+                )
+                fail_j = ok & ~hit_j
+                hitf = hitf | hit_j
+                h_cum = jnp.where(hit_j, cum_j, h_cum)
+                h_diff = jnp.where(hit_j, dd, h_diff)
+                h_th = jnp.where(hit_j, th_qj, h_th)
+                h_hitd = jnp.where(hit_j, hitd2, h_hitd)
+                h_lcum = jnp.where(
+                    hit_j, q40(hs_lcum[j], 4095.0) * 0.025, h_lcum
+                )
+                h_lhd = jnp.where(
+                    hit_j, q40(hs_lhd[j], 4095.0) * 0.025, h_lhd
+                )
+                h_pidx = jnp.where(hit_j, hs_pidx[j], h_pidx)
+                h_ixy = jnp.where(
+                    hit_j, (iy2 * gw + ix2).astype(jnp.float32), h_ixy
+                )
+                pdiff = jnp.where(fail_j, dd, pdiff)
+                psidx = jnp.where(fail_j, hs_sidx[j], psidx)
+            for j in range(k):
+                o_cum[0, 0, j] = slots_cum[j]
+                o_scode[0, 0, j] = slots_scode[j]
+                o_hist[0, 0, j] = slots_hist[j]
+            # A prefix hit precedes every packed candidate: drop them.
+            o_cnt[0, 0, 0] = jnp.where(hitf, 0, jnp.minimum(run, k))
+            for j, fld in enumerate(
+                (hitf.astype(jnp.float32), h_cum, h_diff, h_th, h_hitd,
+                 h_lcum, h_lhd, h_pidx, h_ixy, pdiff, psidx)
+            ):
+                o_home[0, 0, j] = fld
+        else:
+            for j in range(k):
+                o_cum[0, j] = slots_cum[j]
+                o_scode[0, j] = slots_scode[j]
+                o_hist[0, j] = slots_hist[j]
+                if dual:
+                    o_step[0, j] = slots_step[j]
+            o_cnt[0, 0] = jnp.minimum(run, k)
+
+    n_pk = 4 if dual else 3
+    if home:
+        nby, nbx = hh // 8, hw // 128
+        n_home = HOME_BANDS * HOME_PAIRS
+        lane_block = pl.BlockSpec(
+            (8, 128), lambda by, bx: (by, bx), memory_space=pltpu.VMEM
+        )
+        out_block = pl.BlockSpec(
+            (1, 1, k, 8, 128), lambda by, bx: (by, bx, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        cnt_block = pl.BlockSpec(
+            (1, 1, 1, 8, 128), lambda by, bx: (by, bx, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        home_block = pl.BlockSpec(
+            (1, 1, 11, 8, 128), lambda by, bx: (by, bx, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        outs = pl.pallas_call(
+            kern,
+            grid=(nby, nbx),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((nby, nbx, k, 8, 128), jnp.float32)]
+                * n_pk
+                + [jax.ShapeDtypeStruct((nby, nbx, 1, 8, 128), jnp.int32)]
+                + [jax.ShapeDtypeStruct((nby, nbx, 11, 8, 128), jnp.float32)]
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [
+                pl.BlockSpec(
+                    (n_chunks, 128), lambda by, bx: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, n_home, 128), lambda by, bx: (by, bx, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            + [lane_block] * len(ins),
+            out_specs=tuple(
+                [out_block] * n_pk + [cnt_block, home_block]
+            ),
+            interpret=_use_interpret(),
+        )(scalars, mini_table, home_strips, *ins)
+
+        def to_rows(o, lead):
+            # (nby, nbx, lead, 8, 128) -> (lead, N) in row-major pixels
+            return (
+                o.transpose(2, 0, 3, 1, 4).reshape(lead, hh * hw)
+            )
+
+        pk = [to_rows(o, k) for o in outs[:n_pk]]
+        n_cand = to_rows(outs[n_pk], 1)[0]
+        home_out = to_rows(outs[n_pk + 1], 11)
+        return (*pk, n_cand, home_out)
 
     lane_block = pl.BlockSpec(
         (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -359,7 +623,6 @@ def _fused_schedule_pack(
     cnt_block = pl.BlockSpec(
         (1, 1, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    n_pk = 4 if dual else 3
     table_specs = [
         pl.BlockSpec(
             (n_chunks, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -400,7 +663,7 @@ _fused_schedule_pack_jit = functools.partial(
         "gh", "gw", "minis_x", "n_chunks", "s_max", "k",
         "max_small_step", "max_medium_step", "small_step_size",
         "medium_step_size", "marching_thickness", "step_growth",
-        "thickness_growth", "dual", "chunks_per_combo",
+        "thickness_growth", "dual", "chunks_per_combo", "home_shape",
     ),
 )(_fused_schedule_pack)
 

@@ -89,6 +89,7 @@ def ray_march(
     view_dir: jnp.ndarray,
     scene_distance: jnp.ndarray,
     alive: jnp.ndarray,
+    home_ok: bool = False,  # accepted for march_fn signature parity
 ) -> MarchResult:
     """Masked fixed-trip rebuild of RayMarching (PathTracing.hlsl:7-254).
 
@@ -864,6 +865,15 @@ def trace_frame(
                 view_dir_b,
                 depth_quirk,
                 alive,
+                # Screen-ordered pixel-grid lanes: bounce 0, full frame
+                # (no tile sharding), uncompacted, no sample vmap — the
+                # hiz march's home-prefix precondition
+                # (ops/fused_schedule.py). The shape check rules out a
+                # caps[0] < 1 re-domaining.
+                home_ok=(
+                    _bounce == 0 and max_spp == 1 and lane_height is None
+                    and ray_pos.shape[:2] == (h, w)
+                ),
             )
             surf = decode_at(march.uv, inside)
             surf = _apply_backface_normal_flip(

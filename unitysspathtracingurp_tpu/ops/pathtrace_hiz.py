@@ -117,6 +117,7 @@ def ray_march_hiz(
     *,
     tiles: DepthTiles,
     n_rounds: int | None = None,
+    home_ok: bool = False,
     _debug_out: dict | None = None,
 ) -> MarchResult:
     """Wavefront rebuild of RayMarching (PathTracing.hlsl:7-254). Same
@@ -200,6 +201,28 @@ def ray_march_hiz(
     if fused is None:  # auto: see PTConfig.fused_schedule
         fused = jax.default_backend() == "tpu"
     use_fused = fused and _debug_out is None
+    # Home-prefix resolve (round 5): when the lanes are the
+    # screen-ordered pixel grid (bounce 0, unsharded, spp 1 — the
+    # caller certifies via home_ok), the fused kernel exact-tests each
+    # lane's leading in-strip candidates against the real f16 pair
+    # depths (ops/fused_schedule.py home mode). Order-exact: identical
+    # march outcomes, but most lanes enter the resolve rounds already
+    # hit or with a shorter candidate list, so the rounds run
+    # compacted (83% of first candidates sit in the home window —
+    # measured 512², scripts in round-5 ledger).
+    # None = off for now: measured NEUTRAL at the headline with the
+    # default round budget (46.26 home vs 47.08 off — the rounds are
+    # shape-priced, so resolving lanes early saves nothing until the
+    # round budget itself shrinks; see docs/Performance.md round 5).
+    # The win it buys is a lower n_rounds at iso-quality (BENCH_HOME +
+    # BENCH_ROUNDS A/B on-chip).
+    home_prefix = cfg.hiz_home_prefix
+    if home_prefix is None:
+        home_prefix = False
+    use_home = (
+        use_fused and home_prefix and home_ok and not dual
+        and h % 8 == 0 and w % 128 == 0
+    )
     if use_fused:
         from .fused_schedule import fused_schedule_pack, schedule_scalars
 
@@ -240,6 +263,19 @@ def ray_march_hiz(
                     **common,
                 )
             )
+        elif use_home:
+            from .depth_tiles import build_home_strips
+
+            strips = build_home_strips(tiles, h, w)
+            pk_cum, pk_scode, pk_hist, n_cand_f, home_out = (
+                fused_schedule_pack(
+                    *lane_args,
+                    home_strips=strips,
+                    home_shape=(h, w),
+                    **common,
+                )
+            )
+            pk_step = None
         else:
             pk_cum, pk_scode, pk_hist, n_cand_f = fused_schedule_pack(
                 *lane_args, **common
@@ -494,6 +530,33 @@ def ray_march_hiz(
     # the whole frame at 1080p (the relayout of 3x K-row arrays beats
     # any extraction saving; scripts/probe_r3_phases.py round 3).
     z = jnp.zeros((h, w), jnp.float32)
+    if use_fused and use_home:
+        # Resolve state starts from the kernel's prefix outcome: lanes
+        # that hit in-strip packed nothing (phase 4 sees n_cand == 0);
+        # lanes with packed candidates carry the prefix's
+        # tested-and-failed prev state for exact interpolation.
+        r2 = lambda a: a.reshape(h, w)  # noqa: E731
+        init_hit = r2(home_out[0]) > 0.5
+        init = dict(
+            hit=init_hit,
+            hit_cum=r2(home_out[1]), hit_diff=r2(home_out[2]),
+            hit_th=r2(home_out[3]), hit_hitd=r2(home_out[4]),
+            hit_lcum=r2(home_out[5]), hit_lhd=r2(home_out[6]),
+            hit_prev=r2(home_out[7]).astype(jnp.int32),
+            hit_ixy=r2(home_out[8]).astype(jnp.int32),
+            prev_diff=r2(home_out[9]),
+            prev_sidx=r2(home_out[10]).astype(jnp.int32),
+        )
+    else:
+        init = dict(
+            hit=jnp.zeros((h, w), bool),
+            hit_cum=z, hit_diff=z, hit_th=z, hit_hitd=z,
+            hit_lcum=z, hit_lhd=z,
+            hit_prev=jnp.zeros((h, w), jnp.int32),
+            hit_ixy=jnp.zeros((h, w), jnp.int32),
+            prev_diff=z,
+            prev_sidx=jnp.full((h, w), -1, jnp.int32),
+        )
     st = dict(
         ptr=jnp.zeros((h, w), jnp.int32),
         n_cand=n_cand,
@@ -503,12 +566,7 @@ def ray_march_hiz(
         ray_pos=ray_pos,
         ray_dir=ray_dir,
         is_back_ray=is_back_ray,
-        hit=jnp.zeros((h, w), bool),
-        hit_cum=z, hit_diff=z, hit_th=z, hit_hitd=z, hit_lcum=z, hit_lhd=z,
-        hit_prev=jnp.zeros((h, w), jnp.int32),
-        hit_ixy=jnp.zeros((h, w), jnp.int32),
-        prev_diff=z,
-        prev_sidx=jnp.full((h, w), -1, jnp.int32),
+        **init,
     )
     # Scatter-merged fields after compact rounds (inputs ray_pos/
     # ray_dir/is_back_ray/pk_*/n_cand never change, so they are gathered
@@ -555,9 +613,14 @@ def ray_march_hiz(
             # ordered). Two bit-identical forms (PTConfig.pallas_extract):
             # the Pallas kernel streams each slot table once per round;
             # the XLA fallback runs chain x fields one-hot mask-sums.
+            # MEASURED NEGATIVE at the headline (47.08 XLA vs 43.79
+            # Pallas, round 5): like the r3 rowwise_select result, the
+            # one-hot sums fuse into the round graph while the
+            # pallas_call input forces the slot tables through HBM
+            # unfused. Kept off-default as a gated knob.
             use_pex = cfg.pallas_extract
             if use_pex is None:
-                use_pex = jax.default_backend() == "tpu"
+                use_pex = False
             if use_pex:
                 from .pallas_gather import extract_chain
 
@@ -772,26 +835,29 @@ def ray_march_hiz(
             st["ptr"] = st["ptr"] + adv
         return st
 
-    round_cap = cfg.hiz_round_cap
-    if round_cap is None or n_rounds <= 1:
+    # Round-compaction dispatch. Dense rounds (no cap): the r3
+    # measurement — at ~100% resolve occupancy, re-domaining the
+    # ~20-field state costs more than the skipped work (655 vs 425 ms
+    # at the headline; docs/Performance.md round 3). With the home
+    # prefix most lanes enter the rounds already resolved, so the
+    # compaction applies from round 1 (hiz_home_round_cap) and pays.
+    if use_home and cfg.hiz_home_round_cap is not None and n_rounds >= 1:
+        dense_rounds, round_cap = 0, cfg.hiz_home_round_cap
+    elif cfg.hiz_round_cap is not None and n_rounds > 1:
+        dense_rounds, round_cap = 1, cfg.hiz_round_cap
+    else:
+        dense_rounds, round_cap = None, None
+    if round_cap is None:
         st = run_rounds(st, n_rounds, 0)
     else:
-        # Round 1 dense, rounds 2+ compacted to the unresolved lanes.
-        # MEASURED NEGATIVE on v5e at the headline config (655 ms vs
-        # 425 ms with bounce compaction alone): the resolve's gather
-        # fuses to near-zero marginal cost inside the round graph
-        # (scripts/probe_round_cost.py: round_nogather 34.0 vs
-        # round_full 35.9 ms), so re-domaining the ~20-field state
-        # costs far more than the skipped work. Kept as an off-default
-        # knob + equivalence gate because the result is config-shaped;
-        # see docs/Performance.md round 3.
         from .pathtrace import (
             _compact_indices,
             _gather_lane_state,
             _scatter_lane_state,
         )
 
-        st = run_rounds(st, 1, 0)
+        n_lanes = h * w  # (the unfused branch's local, re-derived)
+        st = run_rounds(st, dense_rounds, 0)
         cap_n = min(
             n_lanes, max(1024, -(-int(round_cap * n_lanes) // 1024) * 1024)
         )
@@ -819,7 +885,7 @@ def ray_march_hiz(
             # Compacted lanes are all unresolved; overflow lanes keep
             # their dense state and finalize as unresolved -> miss.
             cst["hit"] = jnp.zeros((ch, cw), bool)
-            cst = run_rounds(cst, n_rounds - 1, 1)
+            cst = run_rounds(cst, n_rounds - dense_rounds, dense_rounds)
             merged = _scatter_lane_state(
                 [st[k].reshape((n_lanes,) + st[k].shape[2:]) for k in _OUT_KEYS],
                 [cst[k].reshape((cap_n,) + cst[k].shape[2:]) for k in _OUT_KEYS],
@@ -829,7 +895,7 @@ def ray_march_hiz(
             for k, m in zip(_OUT_KEYS, merged):
                 st[k] = m.reshape((h, w) + m.shape[1:])
         else:
-            st = run_rounds(st, n_rounds - 1, 1)
+            st = run_rounds(st, n_rounds - dense_rounds, dense_rounds)
 
     ptr = st["ptr"]
     hit = st["hit"]
