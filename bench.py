@@ -104,10 +104,11 @@ def main():
         cfg = dataclasses.replace(
             cfg, hiz_home_round_cap=float(os.environ["BENCH_HOME_CAP"])
         )
-    bench_rounds = (
-        int(os.environ["BENCH_ROUNDS"]) if os.environ.get("BENCH_ROUNDS")
-        else None
-    )
+    if os.environ.get("BENCH_ROUNDS"):
+        rr = [int(x) for x in os.environ["BENCH_ROUNDS"].split(",")]
+        bench_rounds = rr[0] if len(rr) == 1 else tuple(rr)
+    else:
+        bench_rounds = None
 
     if os.environ.get("BENCH_VIA") == "renderer":
         # Drive the frame THROUGH the product orchestrator

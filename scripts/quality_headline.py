@@ -96,6 +96,17 @@ def worker(kernel: str, frames: int, out_path: str) -> None:
         PTConfig.boxscene_headline(),
         fused_schedule=False if "--unfused" in sys.argv else None,
     )
+    # Round-budget / home-prefix overrides for the r5 rounds-vs-quality
+    # decision (bench.py BENCH_ROUNDS / BENCH_HOME analogs).
+    if _arg("--rounds"):
+        rr = [int(x) for x in _arg("--rounds").split(",")]
+        cfg = dataclasses.replace(
+            cfg, hiz_rounds=rr[0] if len(rr) == 1 else tuple(rr)
+        )
+    if _arg("--home"):
+        cfg = dataclasses.replace(
+            cfg, hiz_home_prefix=_arg("--home") == "1"
+        )
     variants = settings.variants()
 
     bde = int(settings.accurate_thickness.value) if dual else 0
@@ -188,12 +199,19 @@ def main():
         if os.path.exists(outs[k]) and "--reuse" in sys.argv:
             print(f"# reusing {outs[k]}", file=sys.stderr)
             continue
+        fwd = []
+        if k == "hiz":
+            if _arg("--rounds"):
+                fwd += ["--rounds", _arg("--rounds")]
+            if _arg("--home"):
+                fwd += ["--home", _arg("--home")]
         rc = subprocess.call(
             [
                 sys.executable, "-u", os.path.abspath(__file__),
                 "--kernel", k, "--frames", str(frames), "--out", outs[k],
             ]
-            + (["--dual"] if dual else []),
+            + (["--dual"] if dual else [])
+            + fwd,
             cwd=ROOT,
         )
         if rc != 0:
@@ -201,6 +219,10 @@ def main():
             return 1
 
     result = compare(outs["hiz"], outs["xla"], frames)
+    if _arg("--rounds"):
+        result["hiz_rounds"] = _arg("--rounds")
+    if _arg("--home"):
+        result["home_prefix"] = _arg("--home") == "1"
     art = os.path.join(ROOT, "fixtures", f"quality_headline{sfx}_r5.json")
     with open(art, "w") as f:
         json.dump(result, f, indent=1)

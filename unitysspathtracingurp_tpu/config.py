@@ -135,6 +135,16 @@ class PTConfig:
     # link math for fewer gather+materialize rounds at iso-coverage.
     hiz_chain: int = 4
 
+    # TPU tuning: hiz resolve-round budget override. None = the
+    # resolution-aware default (pathtrace_hiz.default_rounds: 4 at
+    # >=720p, 10 below). A tuple gives per-bounce budgets (last entry
+    # extends to deeper bounces) — later bounces carry far fewer
+    # candidates per lane. Candidates beyond rounds * hiz_chain per
+    # lane finalize as misses — the documented R-round cutoff
+    # deviation, quality-measured per config before shipping
+    # (scripts/quality_headline.py).
+    hiz_rounds: int | tuple | None = None
+
     # TPU tuning (no behavioral effect, gated equal by
     # tests/test_fused_schedule.py): run the hiz front half (schedule
     # build + minitile filter + candidate pack) as one fused Pallas
